@@ -1,0 +1,130 @@
+"""Index construction: FASTA -> {.pac,.rpac,.ann,.amb,.bwt,.rbwt,.sa,.rsa}.
+
+Byte-parity with `ibwa index -a is` (reference bwtindex.c:42-186):
+* N bases are replaced by lrand48()&3 draws from a fixed seed of 11,
+  consumed in sequence order across contigs (bntseq.c:180-232)
+* BWT built by suffix sort (SA-IS), occ checkpoints interleaved every 128
+  bases, suffix array sampled every 32 positions
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import native
+from ..io.fasta import read_fasta
+from ..rng import Rand48
+from . import formats
+from .formats import AmbHole, Bns, BwtIndex, ContigAnn, NT4_TABLE
+
+
+def fasta_to_bnt(fa_path: str, prefix: str) -> tuple[Bns, np.ndarray]:
+    """Pack a FASTA into .pac/.ann/.amb; returns (bns, unpacked codes)."""
+    rng = Rand48(11)
+    anns: list[ContigAnn] = []
+    ambs: list[AmbHole] = []
+    all_codes: list[np.ndarray] = []
+    offset = 0
+    # kseq buffer-reuse quirk: a header without a comment inherits the most
+    # recent comment string (kseq.h keeps the buffer; bntseq.c:200 strdups
+    # whatever is in it). "(null)" only before any comment was ever seen.
+    last_comment: str | None = None
+    for rec in read_fasta(fa_path):
+        raw = np.frombuffer(rec.seq.encode("latin-1"), dtype=np.uint8)
+        codes = NT4_TABLE[raw].copy()
+        is_n = codes >= 4
+        n_ambs = 0
+        if is_n.any():
+            # hole runs merge only across *identical* raw characters
+            # (bntseq.c:206-221)
+            idx = np.flatnonzero(is_n)
+            run_start = 0
+            for t in range(1, len(idx) + 1):
+                if (t == len(idx) or idx[t] != idx[t - 1] + 1
+                        or raw[idx[t]] != raw[idx[t - 1]]):
+                    start = idx[run_start]
+                    ambs.append(AmbHole(offset + int(start),
+                                        int(t - run_start),
+                                        chr(raw[start])))
+                    n_ambs += 1
+                    run_start = t
+            # fill Ns with lrand48 draws in order
+            draws = _lrand48_bulk(rng, int(is_n.sum()))
+            codes[is_n] = (draws & 3).astype(np.uint8)
+        if rec.comment:
+            last_comment = rec.comment
+        anns.append(ContigAnn(
+            name=rec.name,
+            anno=last_comment if last_comment is not None else "(null)",
+            offset=offset, length=len(codes), n_ambs=n_ambs))
+        offset += len(codes)
+        all_codes.append(codes)
+    if offset == 0:
+        raise ValueError("zero length sequence")
+    bns = Bns(l_pac=offset, seed=11, anns=anns, ambs=ambs)
+    codes = np.concatenate(all_codes)
+    formats.write_pac(prefix + ".pac", codes)
+    formats.write_ann(prefix + ".ann", bns)
+    formats.write_amb(prefix + ".amb", bns)
+    return bns, codes
+
+
+def _lrand48_bulk(rng: Rand48, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    vals, state = native.lrand48_stream(rng.x, n)
+    rng.x = state
+    return vals
+
+
+def build_bwt_index(codes: np.ndarray, sa_intv: int = formats.SA_INTERVAL
+                    ) -> BwtIndex:
+    """Full FM-index (interleaved layout + sampled SA) of a code string."""
+    seq_len = len(codes)
+    l2 = np.zeros(5, dtype=np.uint64)
+    l2[1:] = np.cumsum(np.bincount(codes, minlength=4))
+    l2 = l2.astype(np.uint32)
+    bwt_codes, primary = native.bwt_inplace(codes)
+    # pack BWT codes into words, code i at bits (15-(i&15))*2 of word i>>4
+    n_words = (seq_len + 15) >> 4
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:seq_len] = bwt_codes
+    grouped = padded.reshape(-1, 16)
+    words = np.zeros(n_words, dtype=np.uint32)
+    for j in range(16):
+        words |= grouped[:, j] << np.uint32((15 - j) * 2)
+    interleaved = formats.interleave_occ(words, seq_len)
+    idx = BwtIndex(primary=primary, L2=l2, seq_len=seq_len,
+                   interleaved=interleaved)
+    if sa_intv:
+        idx.sa_intv = sa_intv
+        idx.sa = native.cal_sa(interleaved, primary, l2, seq_len, sa_intv)
+    return idx
+
+
+def bwa_index(fa_path: str, prefix: str | None = None) -> None:
+    """Equivalent of `ibwa index -a is <fa>` producing all artifacts."""
+    if prefix is None:
+        prefix = fa_path
+    bns, codes = fasta_to_bnt(fa_path, prefix)
+    formats.write_rpac(prefix + ".rpac", codes)
+
+    fwd = build_bwt_index(codes)
+    formats.write_bwt(prefix + ".bwt", fwd)
+    formats.write_sa(prefix + ".sa", fwd)
+
+    rev = build_bwt_index(codes[::-1].copy())
+    formats.write_bwt(prefix + ".rbwt", rev)
+    formats.write_sa(prefix + ".rsa", rev)
+
+
+def load_index(prefix: str, strand: int) -> BwtIndex:
+    """Load .bwt/.sa (strand 0) or .rbwt/.rsa (strand 1)."""
+    suffix = (".bwt", ".sa") if strand == 0 else (".rbwt", ".rsa")
+    idx = formats.read_bwt(prefix + suffix[0])
+    sa_path = prefix + suffix[1]
+    if os.path.exists(sa_path):
+        formats.read_sa(sa_path, idx)
+    return idx

@@ -1,0 +1,146 @@
+"""ctypes loader for the ibwa_tpu native host library.
+
+The library is built on demand with g++ (no pip/pybind dependency). All
+entry points use plain C ABI + NumPy buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "core.cpp")
+_LIB = os.path.join(_HERE, "libibwa_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+
+        lib.ibwa_sais.argtypes = [u8p, i32p, ctypes.c_int32, ctypes.c_int32]
+        lib.ibwa_sais.restype = ctypes.c_int32
+        lib.ibwa_bwt_inplace.argtypes = [u8p, ctypes.c_int32]
+        lib.ibwa_bwt_inplace.restype = ctypes.c_int32
+        lib.ibwa_cal_sa.argtypes = [u32p, ctypes.c_uint32, u32p,
+                                    ctypes.c_uint32, ctypes.c_uint32, u32p,
+                                    ctypes.c_uint32]
+        lib.ibwa_sa_lookup.argtypes = [u32p, ctypes.c_uint32, u32p,
+                                       ctypes.c_uint32, ctypes.c_uint32, u32p,
+                                       u32p, ctypes.c_uint32, u32p]
+        lib.ibwa_occ.argtypes = [u32p, ctypes.c_uint32, u32p, ctypes.c_uint32,
+                                 ctypes.c_uint32, ctypes.c_int32]
+        lib.ibwa_occ.restype = ctypes.c_uint32
+        lib.ibwa_lrand48.argtypes = [u64p, ctypes.c_uint64, u32p]
+        lib.ibwa_drand48.argtypes = [u64p, ctypes.c_uint64, f64p]
+        _lib = lib
+        return lib
+
+
+def _u32(a: np.ndarray) -> ctypes.POINTER:
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def sais(text: np.ndarray, alphabet: int = 4) -> np.ndarray:
+    """Suffix array of a uint8 text."""
+    lib = load()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.empty(len(text), dtype=np.int32)
+    rc = lib.ibwa_sais(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(text), alphabet)
+    if rc != 0:
+        raise RuntimeError("ibwa_sais failed")
+    return sa
+
+
+def bwt_inplace(text: np.ndarray) -> tuple[np.ndarray, int]:
+    """Sentinel-removed BWT of a 2-bit uint8 text; returns (bwt, primary)."""
+    lib = load()
+    buf = np.ascontiguousarray(text, dtype=np.uint8).copy()
+    primary = lib.ibwa_bwt_inplace(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
+    if primary < 0:
+        raise RuntimeError("ibwa_bwt_inplace failed")
+    return buf, int(primary)
+
+
+def cal_sa(interleaved: np.ndarray, primary: int, l2: np.ndarray,
+           seq_len: int, intv: int) -> np.ndarray:
+    lib = load()
+    interleaved = np.ascontiguousarray(interleaved, dtype=np.uint32)
+    l2 = np.ascontiguousarray(l2, dtype=np.uint32)
+    n_sa = (seq_len + intv) // intv
+    out = np.empty(n_sa, dtype=np.uint32)
+    lib.ibwa_cal_sa(_u32(interleaved), primary, _u32(l2), seq_len, intv,
+                    _u32(out), n_sa)
+    return out
+
+
+def sa_lookup(interleaved: np.ndarray, primary: int, l2: np.ndarray,
+              seq_len: int, sa_intv: int, sampled_sa: np.ndarray,
+              ks: np.ndarray) -> np.ndarray:
+    lib = load()
+    interleaved = np.ascontiguousarray(interleaved, dtype=np.uint32)
+    l2 = np.ascontiguousarray(l2, dtype=np.uint32)
+    sampled_sa = np.ascontiguousarray(sampled_sa, dtype=np.uint32)
+    ks = np.ascontiguousarray(ks, dtype=np.uint32)
+    out = np.empty(len(ks), dtype=np.uint32)
+    lib.ibwa_sa_lookup(_u32(interleaved), primary, _u32(l2), seq_len, sa_intv,
+                       _u32(sampled_sa), _u32(ks), len(ks), _u32(out))
+    return out
+
+
+def occ(interleaved: np.ndarray, primary: int, l2: np.ndarray, seq_len: int,
+        k: int, c: int) -> int:
+    lib = load()
+    interleaved = np.ascontiguousarray(interleaved, dtype=np.uint32)
+    l2 = np.ascontiguousarray(l2, dtype=np.uint32)
+    return int(lib.ibwa_occ(_u32(interleaved), primary, _u32(l2), seq_len,
+                            k & 0xFFFFFFFF, c))
+
+
+def lrand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:
+    """n lrand48 draws starting from raw 48-bit state; returns (vals, state)."""
+    lib = load()
+    st = np.array([state_x], dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint32)
+    lib.ibwa_lrand48(st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+                     _u32(out))
+    return out, int(st[0])
+
+
+def drand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:
+    lib = load()
+    st = np.array([state_x], dtype=np.uint64)
+    out = np.empty(n, dtype=np.float64)
+    lib.ibwa_drand48(st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out, int(st[0])
