@@ -1,0 +1,80 @@
+"""Read loading/encoding with the reference's conventions.
+
+bwa_read_seq (bwaseqio.c:145-208): 2-bit encode via nst_nt4_table, store
+`seq` REVERSED (plain) and `rseq` reverse-complemented, strip a trailing
+"/1" or "/2" from names, optional quality trimming (-q).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..index.formats import NT4_TABLE
+from .fasta import read_fastx
+
+BWA_MIN_RDLEN = 35
+
+
+@dataclasses.dataclass
+class Read:
+    name: str
+    seq: np.ndarray   # reversed original, nt4 codes
+    rseq: np.ndarray  # reverse-complement of original, nt4 codes
+    qual: bytes | None
+    full_len: int
+    clip_len: int
+
+    @property
+    def len(self) -> int:
+        return len(self.seq)
+
+
+def _complement(codes: np.ndarray) -> np.ndarray:
+    out = codes.copy()
+    mask = out < 4
+    out[mask] = 3 - out[mask]
+    return out
+
+
+def trim_len(qual: bytes, full_len: int, trim_qual: int) -> int:
+    """bwa_trim_read (bwaseqio.c:74-87): BWA-style 3' quality trimming."""
+    s, max_s, max_l = 0, 0, full_len - 1
+    for pos in range(full_len - 1, BWA_MIN_RDLEN - 2, -1):
+        s += trim_qual - (qual[pos] - 33)
+        if s < 0:
+            break
+        if s > max_s:
+            max_s, max_l = s, pos
+    return max_l + 1
+
+
+def load_reads(path: str, trim_qual: int = 0, is_64: bool = False
+               ) -> list[Read]:
+    reads = []
+    for rec in read_fastx(path):
+        raw = np.frombuffer(rec.seq.encode("latin-1"), dtype=np.uint8)
+        codes = NT4_TABLE[raw].copy()
+        qual = None
+        if rec.qual:
+            qual = rec.qual.encode("latin-1")
+            if is_64:
+                qual = bytes(q - 31 for q in qual)
+        full_len = len(codes)
+        clip = full_len
+        if trim_qual >= 1 and qual is not None:
+            clip = trim_len(qual, full_len, trim_qual)
+        kept = codes[:clip]
+        name = rec.name
+        if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+            name = name[:-2]
+        reads.append(Read(
+            name=name,
+            seq=kept[::-1].copy(),
+            rseq=_complement(kept)[::-1].copy(),
+            qual=qual,
+            full_len=full_len,
+            clip_len=clip,
+        ))
+    return reads
