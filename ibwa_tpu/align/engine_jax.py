@@ -1,0 +1,624 @@
+"""Vectorized TPU engine for the `aln` gapped search.
+
+Re-implements bwt_match_gap (bwtgap.c:104-264) + bwt_cal_width
+(bwtaln.c:54-78) as one SPMD program over a read batch.  The reference's
+score-bucketed LIFO stack (gap_stack_t, bwtgap.c:13-79) defines the hit
+set through its pop order (lowest score bucket, LIFO within).  On device
+each read gets a flat entry arena with a packed priority key
+
+    key = score << 20 | (0xFFFFF - push_seqno)
+
+so a single argmin reproduces that exact order (min score, then most
+recent push).  Slot allocation goes through a per-read free-list stack,
+making every pop/push an O(1) scatter — the only full-arena scan per
+step is the key argmin.
+
+Divergences from a literal translation, all TPU-motivated:
+  * one search step per read per iteration, batched over B reads
+    (replaces the per-thread DFS loop); finished reads are masked out
+  * bwt_match_exact_alt (bwt.c:235-250), called inline by the reference
+    when the remaining diff budget hits 0, becomes a 4th entry state
+    ("E"): the partial exact extension is pushed back onto the stack and
+    consumes one base per pop.  Because it re-enters its own score bucket
+    and buckets are LIFO, the chain pops consecutively — semantically the
+    same atomic extension, but each step is a fixed-shape occ gather.
+  * capacity overflows (bucket depth, hit count, iteration bound) mark
+    the read for the host emulator (engine_ref), which is semantically
+    identical — mirroring how the reference itself bails out of
+    pathological reads at max_entries (bwtgap.c:139).
+
+Packed entry layout (uint32[4] per stack slot; score == bucket index):
+  word0 = k, word1 = l
+  word2 = state(2) | a(1) | i(13, bit 3) | last_diff_pos(13, bit 16)
+  word3 = n_mm(8) | n_gapo(8) | n_gape(8)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fm.device import DeviceFmPair, occ1, occ4
+from ..fm.fmindex import FmIndex
+from .opts import (BWA_MODE_GAPE, BWA_MODE_LOGGAP, BWA_MODE_NONSTOP, GapOpt,
+                   aln_score, cal_maxdiff)
+from . import engine_ref
+from .engine_ref import Hit
+
+STATE_M, STATE_I, STATE_D, STATE_E = 0, 1, 2, 3
+U32 = jnp.uint32
+I32 = jnp.int32
+INT32_MAX = 0x7FFFFFFF
+
+# device capacity knobs (overflow => host fallback, never wrong answers)
+ACAP = 2048      # entry arena slots per read
+HCAP = 64        # max hits recorded per read
+MAX_ITERS = 16384
+MAX_SEQ = 0xFFFFF  # seqno field width in the priority key
+DEV_BATCH = 1024  # reads per device dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (compile-time) search parameters."""
+
+    L: int            # padded read length
+    SL: int           # seed length (opt.seed_len)
+    NB: int           # number of score buckets
+    s_mm: int
+    s_gapo: int
+    s_gape: int
+    max_gapo: int
+    max_gape: int
+    max_del_occ: int
+    indel_end_skip: int
+    max_top2: int
+    max_entries: int
+    max_seed_diff: int
+    gape_mode: bool   # BWA_MODE_GAPE
+    nonstop: bool     # BWA_MODE_NONSTOP
+    loggap: bool      # BWA_MODE_LOGGAP
+
+
+def _pack_m2(nmm, gapo, gape):
+    return (nmm.astype(U32) | (gapo.astype(U32) << 8)
+            | (gape.astype(U32) << 16))
+
+
+def _pack_m1(state, a, i, ldp):
+    return (state.astype(U32) | (a.astype(U32) << 2)
+            | (i.astype(U32) << 3) | (ldp.astype(U32) << 16))
+
+
+def _int_log2(v):
+    """Exact integer log2 (stdaln-style bit scan); log2(0) == 0."""
+    return jnp.where(v <= 0, 0, 31 - jax.lax.clz(jnp.maximum(v, 1)))
+
+
+def _compute_widths(fm: DeviceFmPair, seqs, lens, Lw: int):
+    """bwt_cal_width (bwtaln.c:54-78), batched over [B, 2] lanes.
+
+    seqs: uint8[B, 2, Lw] (strand 0 indexed vs fwd fm, strand 1 vs rev);
+    lens: int32[B].  Returns (w uint32[B,2,Lw+1], bid int32[B,2,Lw+1]).
+    """
+    B = seqs.shape[0]
+    strand = jnp.broadcast_to(jnp.arange(2, dtype=U32)[None, :], (B, 2))
+    w = jnp.zeros((B, 2, Lw + 1), dtype=U32)
+    bid = jnp.zeros((B, 2, Lw + 1), dtype=I32)
+
+    def body(t, carry):
+        k, l, b, w, bid = carry
+        c = seqs[:, :, t].astype(U32)
+        valid = (t < lens)[:, None]
+        cn = jnp.minimum(c, 3)
+        ok = occ1(fm, strand, k - 1, cn)
+        ol = occ1(fm, strand, l, cn)
+        base = fm.L2[cn]
+        k2 = base + ok + 1
+        l2 = base + ol
+        usable = c < 4
+        k2 = jnp.where(usable, k2, k)
+        l2 = jnp.where(usable, l2, l)
+        reset = (k2 > l2) | ~usable
+        k3 = jnp.where(reset, 0, k2)
+        l3 = jnp.where(reset, jnp.uint32(fm.seq_len), l2)
+        b2 = b + reset.astype(I32)
+        k = jnp.where(valid, k3, k)
+        l = jnp.where(valid, l3, l)
+        b = jnp.where(valid, b2, b)
+        w = w.at[:, :, t].set(jnp.where(valid, l - k + 1, w[:, :, t]))
+        bid = bid.at[:, :, t].set(jnp.where(valid, b, bid[:, :, t]))
+        return k, l, b, w, bid
+
+    k0 = jnp.zeros((B, 2), dtype=U32)
+    l0 = jnp.full((B, 2), fm.seq_len, dtype=U32)
+    b0 = jnp.zeros((B, 2), dtype=I32)
+    k, l, b, w, bid = jax.lax.fori_loop(0, Lw, body, (k0, l0, b0, w, bid))
+    rows = jnp.arange(B)[:, None]
+    cols = jnp.arange(2)[None, :]
+    n = jnp.minimum(lens, Lw)[:, None]
+    w = w.at[rows, cols, n].set(0)
+    bid = bid.at[rows, cols, n].set(b + 1)
+    return w, bid
+
+
+def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
+                 has_seed, st):
+    """One pop-expand step for every active read."""
+    (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
+     hits, n_hits,
+     best_score, best_cnt, max_diff, done, fb, it) = st
+    B = lens.shape[0]
+    rows = jnp.arange(B)
+    seq_len_u = jnp.uint32(fm.seq_len)
+
+    act = ~done & ~fb
+    empty = stack_n == 0
+    done = done | (act & empty)
+    act = act & ~empty
+    over = stack_n > cfg.max_entries
+    done = done | (act & over)
+    act = act & ~over
+
+    # ---- pop: min (score, -push_seqno) == gap_pop (bwtgap.c:66-79) ----
+    slot0 = jnp.argmin(key, axis=1).astype(I32)
+    ent = store[rows, slot0]                         # [B, 4]
+    e_score = key[rows, slot0] >> 20
+    rows_act = jnp.where(act, rows, B)
+    key = key.at[rows_act, slot0].set(INT32_MAX, mode="drop")
+    freelist = freelist.at[rows_act, jnp.minimum(ftop, ACAP - 1)].set(
+        slot0, mode="drop")
+    ftop = ftop + act.astype(I32)
+    stack_n = stack_n - act.astype(I32)
+    e_k = ent[:, 0]
+    e_l = ent[:, 1]
+    m1 = ent[:, 2]
+    e_state = (m1 & 3).astype(I32)
+    e_a = ((m1 >> 2) & 1).astype(I32)
+    e_i = ((m1 >> 3) & 0x1FFF).astype(I32)
+    e_ldp = ((m1 >> 16) & 0x1FFF).astype(I32)
+    m2 = ent[:, 3]
+    e_nmm = (m2 & 0xFF).astype(I32)
+    e_gapo = ((m2 >> 8) & 0xFF).astype(I32)
+    e_gape = ((m2 >> 16) & 0xFF).astype(I32)
+
+    if not cfg.nonstop:
+        brk = e_score > best_score + cfg.s_mm
+        done = done | (act & brk)
+        act = act & ~brk
+
+    sidx = (1 - e_a).astype(U32)     # FM strand used for search (fms[1-a])
+    is_e = act & (e_state == STATE_E)
+    is_norm = act & (e_state != STATE_E)
+
+    # ---- normal entry: budget + D(i) width pruning ----
+    m = max_diff - (e_nmm + e_gapo)
+    if cfg.gape_mode:
+        m = m - e_gape
+    im1 = jnp.maximum(e_i - 1, 0)
+    bid_im1 = bid[rows, e_a, im1]
+    alive = is_norm & (m >= 0) & ~((e_i > 0) & (m < bid_im1))
+
+    hit_direct = alive & (e_i == 0)
+    cond_e = alive & (e_i > 0) & (m == 0)
+    if not cfg.gape_mode:
+        cond_e = cond_e & ((e_state == STATE_M) | (e_gape == cfg.max_gape))
+    expand = alive & ~hit_direct & ~cond_e
+
+    # occ4 at (k-1, l) serves BOTH the expansion (bwtgap.c:201) and the
+    # E-state exact extension (bwt.c:243-246) — same query coordinates.
+    cnt_k = occ4(fm, sidx, e_k - 1)          # [B, 4]
+    cnt_l = occ4(fm, sidx, e_l)
+    l2b = fm.L2[:4][None, :]
+    kj = l2b + cnt_k + 1                     # [B, 4] candidate k per base
+    lj = l2b + cnt_l
+
+    # ---- E entry: one base of bwt_match_exact_alt (bwt.c:235-250) ----
+    e_im1 = jnp.maximum(e_i - 1, 0)
+    e_base = seqs[rows, e_a, e_im1].astype(I32)
+    e_cn = jnp.minimum(e_base, 3)
+    e_k2 = kj[rows, e_cn]
+    e_l2 = lj[rows, e_cn]
+    e_go = is_e & (e_i > 0) & (e_base < 4) & (e_k2 <= e_l2)
+    hit_e = is_e & (e_i == 0)
+
+    # ---- hit bookkeeping (bwtgap.c:159-196) ----
+    hit = hit_direct | hit_e
+    first = hit & (n_hits == 0)
+    best_score = jnp.where(first, e_score, best_score)
+    bdiff = e_nmm + e_gapo + (e_gape if cfg.gape_mode else 0)
+    if not cfg.nonstop:
+        max_diff = jnp.where(first, jnp.minimum(bdiff + 1, max_diff),
+                             max_diff)
+    same = e_score == best_score
+    width = (e_l - e_k + 1).astype(I32)
+    brk2 = hit & ~same & (best_cnt > cfg.max_top2)
+    best_cnt = jnp.where(hit & same, best_cnt + width, best_cnt)
+    done = done | brk2
+    add = hit & ~brk2
+    hseen = jnp.arange(HCAP)[None, :] < n_hits[:, None]
+    dup = ((hits[:, :, 1] == e_k[:, None]) & (hits[:, :, 2] == e_l[:, None])
+           & hseen).any(axis=1)
+    do_add = add & ~((e_gapo > 0) & dup)
+    hovf = do_add & (n_hits >= HCAP)
+    fb = fb | hovf
+    do_add = do_add & ~hovf
+    slot = jnp.minimum(n_hits, HCAP - 1)
+    nmeta = (_pack_m2(e_nmm, e_gapo, e_gape) | (e_a.astype(U32) << 24))
+    hrow = jnp.where(do_add, rows, B)
+    hits = hits.at[hrow, slot].set(
+        jnp.stack([nmeta, e_k, e_l], axis=-1), mode="drop")
+    n_hits = n_hits + do_add.astype(I32)
+
+    # gap_shadow width mutation (bwtgap.c:81-91), on strand e_a
+    x = (e_l - e_k + 1)
+    wrow = w[rows, e_a]                      # [B, L+1]
+    brow = bid[rows, e_a]
+    parr = jnp.arange(cfg.L + 1)[None, :]
+    inr = parr < e_ldp[:, None]
+    meq = inr & (wrow == x[:, None])
+    j = jnp.cumsum(meq.astype(I32), axis=1)
+    wnew = jnp.where(inr & (wrow > x[:, None]), wrow - x[:, None],
+                     jnp.where(meq, seq_len_u - j.astype(U32), wrow))
+    bnew = jnp.where(meq, 1, brow)
+    wrow = jnp.where(do_add[:, None], wnew, wrow)
+    brow = jnp.where(do_add[:, None], bnew, brow)
+    w = w.at[rows, e_a].set(wrow)
+    bid = bid.at[rows, e_a].set(brow)
+
+    # ---- expansion (bwtgap.c:198-258) ----
+    i2 = jnp.maximum(e_i - 1, 0)
+    occv = e_l - e_k + 1
+
+    # allow_diff / allow_m from widths + seed widths
+    i2m1 = jnp.maximum(i2 - 1, 0)
+    bm1 = bid[rows, e_a, i2m1]
+    b0_ = bid[rows, e_a, i2]
+    wm1 = w[rows, e_a, i2m1]
+    w0_ = w[rows, e_a, i2]
+    ad1 = bm1 > m - 1
+    am1 = ~ad1 & (bm1 == m - 1) & (b0_ == m - 1) & (wm1 == w0_)
+    ii = i2 - (lens - cfg.SL)
+    m_seed = cfg.max_seed_diff - (e_nmm + e_gapo)
+    if cfg.gape_mode:
+        m_seed = m_seed - e_gape
+    sgate = has_seed & (ii > 0)
+    iim1 = jnp.clip(ii - 1, 0, cfg.SL)
+    ii_c = jnp.clip(ii, 0, cfg.SL)
+    sbm1 = sbid[rows, e_a, iim1]
+    sb0 = sbid[rows, e_a, ii_c]
+    swm1 = sw[rows, e_a, iim1]
+    sw0 = sw[rows, e_a, ii_c]
+    ad2 = sgate & (sbm1 > m_seed - 1)
+    am2 = sgate & ~(sbm1 > m_seed - 1) & (sbm1 == m_seed - 1) \
+        & (sb0 == m_seed - 1) & (swm1 == sw0)
+    at_end = i2 == 0
+    allow_diff = at_end | (~ad1 & ~ad2)
+    allow_m = at_end | (~am1 & ~am2)
+
+    if cfg.loggap:
+        tmp = _int_log2(e_gape + e_gapo) // 2 + 1
+    else:
+        tmp = e_gapo + e_gape
+    ok_indel = (expand & allow_diff
+                & (i2 >= cfg.indel_end_skip + tmp)
+                & (lens - i2 >= cfg.indel_end_skip + tmp))
+
+    # children slots 0..9 in reference push order
+    nch = 10
+    c_valid = [None] * nch
+    c_k = [None] * nch
+    c_l = [None] * nch
+    c_i = [None] * nch
+    c_state = [None] * nch
+    c_nmm = [None] * nch
+    c_gapo = [None] * nch
+    c_gape = [None] * nch
+    c_ldp = [None] * nch
+
+    # slot 0: I open (from M) or I extend (from I) — same push position
+    io = ok_indel & (e_state == STATE_M) & (e_gapo < cfg.max_gapo)
+    ie = ok_indel & (e_state == STATE_I) & (e_gape < cfg.max_gape)
+    c_valid[0] = io | ie
+    c_k[0] = e_k
+    c_l[0] = e_l
+    c_i[0] = i2
+    c_state[0] = jnp.full_like(e_state, STATE_I)
+    c_nmm[0] = e_nmm
+    c_gapo[0] = e_gapo + io.astype(I32)
+    c_gape[0] = e_gape + ie.astype(I32)
+    c_ldp[0] = i2
+
+    # slots 1-4: D open (from M) or D extend (from D), base j = 0..3
+    d_open = ok_indel & (e_state == STATE_M) & (e_gapo < cfg.max_gapo)
+    d_ext = (ok_indel & (e_state == STATE_D) & (e_gape < cfg.max_gape)
+             & ((e_gape + e_gapo < max_diff) | (occv < cfg.max_del_occ)))
+    d_any = d_open | d_ext
+    for j in range(4):
+        c_valid[1 + j] = d_any & (kj[:, j] <= lj[:, j])
+        c_k[1 + j] = kj[:, j]
+        c_l[1 + j] = lj[:, j]
+        c_i[1 + j] = i2 + 1
+        c_state[1 + j] = jnp.full_like(e_state, STATE_D)
+        c_nmm[1 + j] = e_nmm
+        c_gapo[1 + j] = e_gapo + d_open.astype(I32)
+        c_gape[1 + j] = e_gape + d_ext.astype(I32)
+        c_ldp[1 + j] = i2 + 1
+
+    # slots 5-8: mismatch/match, j = 1..4, c = (base + j) & 3
+    base = seqs[rows, e_a, i2].astype(I32)
+    allow_full = allow_diff & allow_m
+    for j in range(1, 5):
+        c = (base + j) & 3
+        is_mm = (j != 4) | (base > 3)
+        kc = kj[rows, c]
+        lc = lj[rows, c]
+        v = expand & (kc <= lc)
+        if j != 4:
+            v = v & allow_full
+        else:
+            v = v & (allow_full | (base < 4))
+        s5 = 4 + j
+        c_valid[s5] = v
+        c_k[s5] = kc
+        c_l[s5] = lc
+        c_i[s5] = i2
+        c_state[s5] = jnp.full_like(e_state, STATE_M)
+        if isinstance(is_mm, bool):
+            mmv = jnp.full_like(e_nmm, int(is_mm))
+        else:
+            mmv = is_mm.astype(I32)
+        c_nmm[s5] = e_nmm + mmv
+        c_gapo[s5] = e_gapo
+        c_gape[s5] = e_gape
+        c_ldp[s5] = jnp.where(mmv > 0, i2, e_ldp)
+
+    # slot 9: exact-extension chain entry (spawn or continuation)
+    c_valid[9] = cond_e | e_go
+    c_k[9] = jnp.where(cond_e, e_k, e_k2)
+    c_l[9] = jnp.where(cond_e, e_l, e_l2)
+    c_i[9] = jnp.where(cond_e, e_i, e_i - 1)
+    c_state[9] = jnp.full_like(e_state, STATE_E)
+    c_nmm[9] = e_nmm
+    c_gapo[9] = e_gapo
+    c_gape[9] = e_gape
+    c_ldp[9] = e_ldp
+
+    # ---- push children, one batched scatter (LIFO parity via seqno) ----
+    ck_ = jnp.stack(c_k, axis=1)                         # [B, 10]
+    cl_ = jnp.stack(c_l, axis=1)
+    cnmm = jnp.stack(c_nmm, axis=1)
+    cgapo = jnp.stack(c_gapo, axis=1)
+    cgape = jnp.stack(c_gape, axis=1)
+    cm1 = _pack_m1(jnp.stack(c_state, axis=1), e_a[:, None],
+                   jnp.stack(c_i, axis=1), jnp.stack(c_ldp, axis=1))
+    cm2 = _pack_m2(cnmm, cgapo, cgape)
+    sc = cnmm * cfg.s_mm + cgapo * cfg.s_gapo + cgape * cfg.s_gape
+    cv = jnp.stack(c_valid, axis=1) & act[:, None]
+    cs = jnp.cumsum(cv.astype(I32), axis=1)
+    ofs = cs - cv.astype(I32)                            # exclusive rank
+    total = cs[:, -1]
+    ovf = cv & ((ofs >= ftop[:, None]) | (seqc[:, None] + ofs >= MAX_SEQ))
+    fb = fb | ovf.any(axis=1)
+    cv = cv & ~ovf
+    slots = jnp.take_along_axis(
+        freelist, jnp.clip(ftop[:, None] - 1 - ofs, 0, ACAP - 1), axis=1)
+    rows2 = jnp.where(cv, rows[:, None], B)
+    word = jnp.stack([ck_, cl_, cm1, cm2], axis=-1)      # [B, 10, 4]
+    store = store.at[rows2, slots].set(word, mode="drop")
+    kv = (sc << 20) | (MAX_SEQ - (seqc[:, None] + ofs))
+    key = key.at[rows2, slots].set(kv, mode="drop")
+    ftop = ftop - total
+    seqc = seqc + total
+    stack_n = stack_n + total
+
+    it = it + 1
+    return (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
+            hits, n_hits,
+            best_score, best_cnt, max_diff, done, fb, it)
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("seq_len", "n_blk"))
+def _run_search(cfg: EngineConfig, ckpt, words, L2, l2diff, primary,
+                seqs, lens, max_diff0, has_seed, seed_seqs, bad,
+                seq_len: int, n_blk: int):
+    fm = DeviceFmPair(ckpt, words, L2, l2diff, primary, seq_len, n_blk)
+    B = lens.shape[0]
+
+    w, bid = _compute_widths(fm, seqs, lens, cfg.L)
+    slens = jnp.where(has_seed, cfg.SL, 0)
+    sw, sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
+
+    store = jnp.zeros((B, ACAP, 4), dtype=U32)
+    key = jnp.full((B, ACAP), INT32_MAX, dtype=I32)
+    # roots in slots 0/1: (a=0, seq 0) then (a=1, seq 1) — a=1 pops first
+    root = lambda a: jnp.stack([
+        jnp.zeros((B,), U32),
+        jnp.full((B,), seq_len, U32),
+        _pack_m1(jnp.full((B,), STATE_M, I32), jnp.full((B,), a, I32),
+                 lens, jnp.zeros((B,), I32)),
+        jnp.zeros((B,), U32)], axis=-1)
+    store = store.at[:, 0].set(root(0))
+    store = store.at[:, 1].set(root(1))
+    key = key.at[:, 0].set(MAX_SEQ - 0)
+    key = key.at[:, 1].set(MAX_SEQ - 1)
+    # free-list stack holds slots 2..ACAP-1 (top of stack = slot 2)
+    freelist = jnp.broadcast_to(
+        jnp.arange(ACAP - 1, 1, -1, dtype=I32)[None, :], (B, ACAP - 2))
+    freelist = jnp.concatenate(
+        [freelist, jnp.zeros((B, 2), dtype=I32)], axis=1)
+    ftop = jnp.full((B,), ACAP - 2, I32)
+    seqc = jnp.full((B,), 2, I32)
+    stack_n = jnp.full((B,), 2, I32)
+
+    hits = jnp.zeros((B, HCAP, 3), dtype=U32)
+    n_hits = jnp.zeros((B,), dtype=I32)
+    best_score = (max_diff0 + 1) * cfg.s_mm + (cfg.max_gapo + 1) * cfg.s_gapo \
+        + (cfg.max_gape + 1) * cfg.s_gape
+    best_cnt = jnp.zeros((B,), dtype=I32)
+    done = bad
+    fb = jnp.zeros((B,), dtype=bool)
+    it = jnp.zeros((), dtype=I32)
+
+    st = (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
+          hits, n_hits,
+          best_score, best_cnt, max_diff0, done, fb, it)
+
+    def cond(st):
+        done, fb, it = st[15], st[16], st[17]
+        return jnp.any(~done & ~fb) & (it < MAX_ITERS)
+
+    def body(st):
+        return _search_step(cfg, fm, seqs, lens, has_seed, st)
+
+    st = jax.lax.while_loop(cond, body, st)
+    (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
+     hits, n_hits,
+     best_score, best_cnt, max_diff, done, fb, it) = st
+    fb = fb | (~done)   # iteration bound hit
+    return hits, n_hits, fb, it
+
+
+def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
+    """Static compile-time search parameters for a read batch."""
+    nb = aln_score(max_diff_hi + 1, opt.max_gapo + 1, opt.max_gape + 1,
+                   opt) + 1
+    return EngineConfig(
+        L=L, SL=min(opt.seed_len, L), NB=nb,
+        s_mm=opt.s_mm, s_gapo=opt.s_gapo, s_gape=opt.s_gape,
+        max_gapo=opt.max_gapo, max_gape=opt.max_gape,
+        max_del_occ=opt.max_del_occ,
+        indel_end_skip=opt.indel_end_skip, max_top2=opt.max_top2,
+        max_entries=min(opt.max_entries, INT32_MAX),
+        max_seed_diff=opt.max_seed_diff,
+        gape_mode=bool(opt.mode & BWA_MODE_GAPE),
+        nonstop=bool(opt.mode & BWA_MODE_NONSTOP),
+        loggap=bool(opt.mode & BWA_MODE_LOGGAP),
+    )
+
+
+class JaxAlnEngine:
+    """Batched device search with host-emulator overflow fallback."""
+
+    def __init__(self, fms: tuple[FmIndex, FmIndex]):
+        from ..fm.device import build_device_pair
+        self.fms = fms
+        self.dfm = build_device_pair(fms[0], fms[1])
+        self.stats = {"device_reads": 0, "fallback_reads": 0,
+                      "iterations": 0}
+
+    def _config(self, L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
+        return make_config(L, max_diff_hi, opt)
+
+    def align_batch(self, seqs: list[np.ndarray], rseqs: list[np.ndarray],
+                    opt: GapOpt) -> list[list[Hit]]:
+        """bwa_cal_sa_reg_gap semantics over a read batch (bwtaln.c:80-140).
+
+        Returns per-read hit lists identical to engine_ref.align_batch."""
+        if not seqs:
+            return []
+        n_reads = len(seqs)
+        max_len = max(len(s) for s in seqs)
+        batch_opt = dataclasses.replace(opt)
+        if opt.fnr > 0.0:
+            batch_opt.max_diff = cal_maxdiff(max_len, thres=opt.fnr)
+        if batch_opt.max_diff < batch_opt.max_gapo:
+            batch_opt.max_gapo = batch_opt.max_diff
+
+        lens = np.array([len(s) for s in seqs], dtype=np.int32)
+        if opt.fnr > 0.0:
+            md_by_len = {int(n): cal_maxdiff(int(n), thres=opt.fnr)
+                         for n in np.unique(lens)}
+            max_diff = np.array([md_by_len[int(n)] for n in lens],
+                                dtype=np.int32)
+        else:
+            max_diff = np.full(n_reads, batch_opt.max_diff, dtype=np.int32)
+
+        L = int(max(8, (max_len + 7) // 8 * 8))
+        cfg = self._config(L, int(max_diff.max()), batch_opt)
+        SL = cfg.SL
+
+        out: list[list[Hit] | None] = [None] * n_reads
+        fb_idx: list[int] = []
+        for lo in range(0, n_reads, DEV_BATCH):
+            hi = min(lo + DEV_BATCH, n_reads)
+            B = hi - lo
+            # pad the dispatch to a power of two to bound recompiles
+            PB = 1
+            while PB < B:
+                PB *= 2
+            sq = np.full((PB, 2, L), 4, dtype=np.uint8)
+            ssq = np.full((PB, 2, SL), 4, dtype=np.uint8)
+            hs = np.zeros(PB, dtype=bool)
+            bad = np.ones(PB, dtype=bool)
+            p_lens = np.ones(PB, dtype=np.int32)
+            p_md = np.zeros(PB, dtype=np.int32)
+            p_lens[:B] = lens[lo:hi]
+            p_md[:B] = max_diff[lo:hi]
+            for b in range(B):
+                s, r = seqs[lo + b], rseqs[lo + b]
+                n = len(s)
+                sq[b, 0, :n] = s
+                sq[b, 1, :n] = r
+                if n > opt.seed_len:
+                    hs[b] = True
+                    ssq[b, 0] = s[n - SL:n]
+                    ssq[b, 1] = r[n - SL:n]
+                bad[b] = int((s > 3).sum()) > int(max_diff[lo + b])
+            harr, n_hits, fb, it = _run_search(
+                cfg, self.dfm.ckpt, self.dfm.words, self.dfm.L2,
+                self.dfm.l2diff, self.dfm.primary,
+                jnp.asarray(sq), jnp.asarray(p_lens),
+                jnp.asarray(p_md), jnp.asarray(hs),
+                jnp.asarray(ssq), jnp.asarray(bad),
+                seq_len=self.dfm.seq_len, n_blk=self.dfm.n_blk)
+            harr = np.asarray(harr)
+            n_hits = np.asarray(n_hits)
+            fb = np.asarray(fb)
+            self.stats["iterations"] += int(it)
+            for b in range(B):
+                if fb[b]:
+                    fb_idx.append(lo + b)
+                    continue
+                hits = []
+                for t in range(int(n_hits[b])):
+                    meta = int(harr[b, t, 0])
+                    nmm = meta & 0xFF
+                    gapo = (meta >> 8) & 0xFF
+                    gape = (meta >> 16) & 0xFF
+                    hits.append(Hit(
+                        n_mm=nmm, n_gapo=gapo, n_gape=gape,
+                        a=(meta >> 24) & 1, k=int(harr[b, t, 1]),
+                        l=int(harr[b, t, 2]),
+                        score=nmm * opt.s_mm + gapo * opt.s_gapo
+                        + gape * opt.s_gape))
+                out[lo + b] = hits
+
+        self.stats["device_reads"] += n_reads - len(fb_idx)
+        self.stats["fallback_reads"] += len(fb_idx)
+        if fb_idx:
+            ref_hits = engine_ref.align_batch(
+                self.fms, [seqs[i] for i in fb_idx],
+                [rseqs[i] for i in fb_idx], opt)
+            for i, h in zip(fb_idx, ref_hits):
+                out[i] = h
+        return out  # type: ignore[return-value]
+
+
+_ENGINES: dict[int, JaxAlnEngine] = {}
+
+
+def align_batch(fms, seqs, rseqs, opt):
+    """Module-level entry matching engine_ref.align_batch's signature."""
+    key = id(fms[0])
+    eng = _ENGINES.get(key)
+    if eng is None or eng.fms[0] is not fms[0]:
+        eng = JaxAlnEngine(fms)
+        _ENGINES.clear()
+        _ENGINES[key] = eng
+    return eng.align_batch(seqs, rseqs, opt)

@@ -320,3 +320,220 @@ void ibwa_drand48(uint64_t* state, uint64_t n, double* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Banded global alignment with affine gaps (Needleman-Wunsch), matching the
+// recurrence, banding and traceback tie-break semantics of the reference's
+// aln_global_core (stdaln.c:345-525).  Used for gapped-hit CIGAR refinement
+// (bwa_refine_gapped, bwase.c:333-449) and mate-rescue path fill.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kMinorInf = -1073741823;
+enum { TR_M = 0, TR_I = 1, TR_D = 2, TR_S = 3 };
+
+struct DpScore {
+  int32_t M, I, D;
+};
+struct DpCell {
+  uint8_t Mt, It, Dt;
+};
+
+struct GlobalAlnCtx {
+  int32_t gap_open, gap_ext, gap_end;
+  const int32_t* matrix;
+  int32_t row;
+
+  // trace selection: M prefers M over D over I on ties exactly as the
+  // reference macros do (M>=I, then M>=D; else I>D)
+  inline void set_M(DpScore& s, DpCell& c, const DpScore& p, int32_t sc) const {
+    if (p.M >= p.I) {
+      if (p.M >= p.D) { s.M = p.M + sc; c.Mt = TR_M; }
+      else            { s.M = p.D + sc; c.Mt = TR_D; }
+    } else if (p.I > p.D) { s.M = p.I + sc; c.Mt = TR_I; }
+    else                  { s.M = p.D + sc; c.Mt = TR_D; }
+  }
+  inline void set_I(DpScore& s, DpCell& c, const DpScore& p) const {
+    if (p.M - gap_open > p.I) { c.It = TR_M; s.I = p.M - gap_open - gap_ext; }
+    else                      { c.It = TR_I; s.I = p.I - gap_ext; }
+  }
+  inline void set_end_I(DpScore& s, DpCell& c, const DpScore& p) const {
+    if (gap_end >= 0) {
+      if (p.M - gap_open > p.I) { c.It = TR_M; s.I = p.M - gap_open - gap_end; }
+      else                      { c.It = TR_I; s.I = p.I - gap_end; }
+    } else set_I(s, c, p);
+  }
+  inline void set_D(DpScore& s, DpCell& c, const DpScore& p) const {
+    if (p.M - gap_open > p.D) { c.Dt = TR_M; s.D = p.M - gap_open - gap_ext; }
+    else                      { c.Dt = TR_D; s.D = p.D - gap_ext; }
+  }
+  inline void set_end_D(DpScore& s, DpCell& c, const DpScore& p) const {
+    if (gap_end >= 0) {
+      if (p.M - gap_open > p.D) { c.Dt = TR_M; s.D = p.M - gap_open - gap_end; }
+      else                      { c.Dt = TR_D; s.D = p.D - gap_end; }
+    } else set_D(s, c, p);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// seq1 = reference segment (len1), seq2 = read (len2), 2-bit codes (values
+// >=4 score as N via matrix row/col 4).  Writes the traceback as op codes
+// (0=M,1=I,2=D) into out_ops end-to-start order reversed to start-to-end,
+// run-length encoded as bwa_cigar_t (op<<29|len).  Returns n_cigar, or -1
+// if out_cap is too small.  *score_out gets the alignment score.
+int32_t ibwa_global_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
+                        int32_t len2, int32_t gap_open, int32_t gap_ext,
+                        int32_t gap_end, int32_t band,
+                        const int32_t* matrix, int32_t row,
+                        uint32_t* out_cigar, int32_t out_cap,
+                        int32_t* score_out) {
+  *score_out = 0;
+  if (len1 == 0 || len2 == 0) return 0;
+  GlobalAlnCtx ctx{gap_open, gap_ext, gap_end, matrix, row};
+
+  int32_t b1, b2;
+  if (len1 > len2) { b1 = len1 - len2 + band; b2 = band; }
+  else             { b1 = band; b2 = len2 - len1 + band; }
+  if (b1 > len1) b1 = len1;
+  if (b2 > len2) b2 = len2;
+
+  std::vector<DpScore> rowA(len1 + 1), rowB(len1 + 1);
+  DpScore* curr = rowA.data();
+  DpScore* last = rowB.data();
+  std::vector<DpCell> cells((size_t)(len2 + 1) * (len1 + 1));
+  auto cell = [&](int32_t j, int32_t i) -> DpCell& {
+    return cells[(size_t)j * (len1 + 1) + i];
+  };
+  auto sc_at = [&](int32_t j, int32_t i) {
+    // matrix[read_base][ref_base], 1-based i/j as in the reference
+    return matrix[seq2[j - 1] * row + seq1[i - 1]];
+  };
+  const DpScore inf3{kMinorInf, kMinorInf, kMinorInf};
+
+  // row 0
+  curr[0] = {0, kMinorInf, kMinorInf};
+  for (int32_t i = 1; i < b1; ++i) {
+    curr[i] = inf3;
+    ctx.set_end_D(curr[i], cell(0, i), curr[i - 1]);
+  }
+  std::swap(curr, last);
+
+  int32_t j = 1;
+  auto part1_row = [&](int32_t jj, bool end_d) {
+    curr[0] = inf3;
+    ctx.set_end_I(curr[0], cell(jj, 0), last[0]);
+    int32_t end = (jj + b1 <= len1 + 1) ? (jj + b1 - 1) : len1;
+    int32_t i = 1;
+    for (; i != end; ++i) {
+      curr[i] = inf3;
+      ctx.set_M(curr[i], cell(jj, i), last[i - 1], sc_at(jj, i));
+      ctx.set_I(curr[i], cell(jj, i), last[i]);
+      if (end_d) ctx.set_end_D(curr[i], cell(jj, i), curr[i - 1]);
+      else       ctx.set_D(curr[i], cell(jj, i), curr[i - 1]);
+    }
+    curr[i] = inf3;
+    ctx.set_M(curr[i], cell(jj, i), last[i - 1], sc_at(jj, i));
+    if (end_d) ctx.set_end_D(curr[i], cell(jj, i), curr[i - 1]);
+    else       ctx.set_D(curr[i], cell(jj, i), curr[i - 1]);
+    if (jj + b1 - 1 > len1) ctx.set_end_I(curr[i], cell(jj, i), last[i]);
+    else curr[i].I = kMinorInf;
+    std::swap(curr, last);
+  };
+
+  int32_t tmp_end = (b2 < len2) ? b2 : len2 - 1;
+  for (; j <= tmp_end; ++j) part1_row(j, false);
+  if (j == len2 && b2 != len2 - 1) { part1_row(j, true); ++j; }
+
+  for (; j <= len2 - b2 + 1; ++j) {  // part 2
+    curr[j - b2] = inf3;
+    int32_t end = j + b1 - 1;
+    int32_t i = j - b2 + 1;
+    for (; i != end; ++i) {
+      curr[i] = inf3;
+      ctx.set_M(curr[i], cell(j, i), last[i - 1], sc_at(j, i));
+      ctx.set_I(curr[i], cell(j, i), last[i]);
+      ctx.set_D(curr[i], cell(j, i), curr[i - 1]);
+    }
+    curr[i] = inf3;
+    ctx.set_M(curr[i], cell(j, i), last[i - 1], sc_at(j, i));
+    ctx.set_D(curr[i], cell(j, i), curr[i - 1]);
+    curr[i].I = kMinorInf;
+    std::swap(curr, last);
+  }
+
+  for (; j < len2; ++j) {  // part 3
+    curr[j - b2] = inf3;
+    int32_t i = j - b2 + 1;
+    for (; i < len1; ++i) {
+      curr[i] = inf3;
+      ctx.set_M(curr[i], cell(j, i), last[i - 1], sc_at(j, i));
+      ctx.set_I(curr[i], cell(j, i), last[i]);
+      ctx.set_D(curr[i], cell(j, i), curr[i - 1]);
+    }
+    curr[i] = inf3;
+    ctx.set_M(curr[i], cell(j, i), last[len1 - 1], sc_at(j, i));
+    ctx.set_end_I(curr[i], cell(j, i), last[i]);
+    ctx.set_D(curr[i], cell(j, i), curr[i - 1]);
+    std::swap(curr, last);
+  }
+
+  if (j == len2) {  // last row
+    curr[j - b2] = inf3;
+    int32_t i = j - b2 + 1;
+    for (; i < len1; ++i) {
+      curr[i] = inf3;
+      ctx.set_M(curr[i], cell(j, i), last[i - 1], sc_at(j, i));
+      ctx.set_I(curr[i], cell(j, i), last[i]);
+      ctx.set_end_D(curr[i], cell(j, i), curr[i - 1]);
+    }
+    curr[i] = inf3;
+    ctx.set_M(curr[i], cell(j, i), last[len1 - 1], sc_at(j, i));
+    ctx.set_end_I(curr[i], cell(j, i), last[i]);
+    ctx.set_end_D(curr[i], cell(j, i), curr[i - 1]);
+    std::swap(curr, last);
+  }
+
+  // traceback from (len1, len2); M wins ties, D needs strict >
+  int32_t i = len1;
+  j = len2;
+  const DpScore& fin = last[len1];
+  int32_t max = fin.M;
+  uint8_t ctype = TR_M, type = cell(j, i).Mt;
+  if (fin.I > max) { max = fin.I; ctype = TR_I; type = cell(j, i).It; }
+  if (fin.D > max) { max = fin.D; ctype = TR_D; type = cell(j, i).Dt; }
+
+  std::vector<uint8_t> ops;  // end-to-start
+  ops.push_back(ctype);
+  for (;;) {
+    switch (ctype) {
+      case TR_M: --i; --j; break;
+      case TR_I: --j; break;
+      default: --i; break;
+    }
+    if (i == 0 && j == 0) break;
+    ctype = type;
+    const DpCell& q = cell(j, i);
+    type = (ctype == TR_M) ? q.Mt : (ctype == TR_I) ? q.It : q.Dt;
+    ops.push_back(ctype);
+  }
+
+  // run-length encode start-to-end (aln_path2cigar32 + bwa op<<29|len pack)
+  int32_t n = 0;
+  for (size_t t = ops.size(); t-- > 0;) {
+    uint32_t op = ops[t];
+    if (n > 0 && (out_cigar[n - 1] >> 29) == op) {
+      out_cigar[n - 1] += 1;
+    } else {
+      if (n >= out_cap) return -1;
+      out_cigar[n++] = (op << 29) | 1u;
+    }
+  }
+  *score_out = max;
+  return n;
+}
+
+}  // extern "C"

@@ -68,13 +68,14 @@ CASES = {
 }
 
 
+@pytest.mark.parametrize("engine", ["ref", "jax"])
 @pytest.mark.parametrize("case", list(CASES))
-def test_sai_parity_emulator(small_case, oracle, case):
+def test_sai_parity(small_case, oracle, case, engine):
     tmp, fa, fa_ref, fq = small_case
     flags, opt = CASES[case]
     ref_sai = subprocess.run([oracle, "aln"] + flags + [str(fa_ref), str(fq)],
                              check=True, capture_output=True).stdout
     buf = io.BytesIO()
-    aln_to_stream(str(fa), str(fq), opt, buf, engine="ref")
+    aln_to_stream(str(fa), str(fq), opt, buf, engine=engine)
     assert hashlib.md5(buf.getvalue()).hexdigest() == \
         hashlib.md5(ref_sai).hexdigest()
