@@ -75,10 +75,141 @@ def cmd_aln(argv: list[str]) -> int:
     return 0
 
 
-COMMANDS = {
-    "index": cmd_index,
-    "aln": cmd_aln,
-}
+def cmd_samse(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ibwa-tpu samse")
+    ap.add_argument("prefix")
+    ap.add_argument("sai")
+    ap.add_argument("fastq")
+    ap.add_argument("-n", type=int, default=3, help="max XA hits")
+    ap.add_argument("-f", default=None, help="output file [stdout]")
+    ap.add_argument("-r", default=None, help="@RG header line")
+    args = ap.parse_args(argv)
+    from .sam.bwase import sai2sam_se, parse_rg
+    rg_line = rg_id = None
+    if args.r is not None:
+        rg_line, rg_id = parse_rg(args.r)
+        if rg_id is None:
+            print(f"[{__name__}] malformated @RG line", file=sys.stderr)
+            return 1
+    out = open(args.f, "w") if args.f else sys.stdout
+    try:
+        sai2sam_se(args.prefix, args.sai, args.fastq, n_occ=args.n,
+                   out=out, rg_line=rg_line, rg_id=rg_id)
+    finally:
+        if args.f:
+            out.close()
+    return 0
+
+
+def cmd_sampe(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ibwa-tpu sampe")
+    ap.add_argument("args", nargs="+",
+                    help="<prefix> <1.sai> <2.sai> <1.fq> <2.fq> "
+                         "[<prefix2> <sai> <sai> ...]")
+    ap.add_argument("-a", type=int, default=500, help="max insert size")
+    ap.add_argument("-o", type=int, default=100000, help="max occ per end")
+    ap.add_argument("-n", type=int, default=3, help="max multi hits")
+    ap.add_argument("-N", type=int, default=10, help="max discordant hits")
+    ap.add_argument("-c", type=float, default=1e-5, help="chimeric prior")
+    ap.add_argument("-f", default=None, help="output file [stdout]")
+    ap.add_argument("-r", default=None, help="@RG header line")
+    ap.add_argument("-s", action="store_true", help="disable mate SW")
+    ap.add_argument("-A", action="store_true", help="disable isize estimate")
+    ap.add_argument("-R", action="store_true", help="enable remapping")
+    ap.add_argument("-P", action="store_true", help="preload index")
+    ap.add_argument("-t", type=int, default=1, help="threads")
+    args = ap.parse_args(argv)
+    pos = args.args
+    if len(pos) < 5 or (len(pos) - 5) % 3 != 0:
+        print("usage: sampe <prefix> <1.sai> <2.sai> <1.fq> <2.fq> ...",
+              file=sys.stderr)
+        return 1
+    prefixes = [pos[0]]
+    sai_pairs = [(pos[1], pos[2])]
+    fq1, fq2 = pos[3], pos[4]
+    i = 5
+    while i < len(pos):
+        prefixes.append(pos[i])
+        sai_pairs.append((pos[i + 1], pos[i + 2]))
+        i += 3
+    from .sam.bwase import parse_rg
+    from .sam.sampe import PeOpt, sai2sam_pe
+    popt = PeOpt(max_isize=args.a, max_occ=args.o, n_multi=args.n,
+                 N_multi=args.N, ap_prior=args.c,
+                 is_sw=0 if args.s else 1, force_isize=1 if args.A else 0,
+                 remapping=1 if args.R else 0, n_threads=args.t)
+    rg_line = rg_id = None
+    if args.r is not None:
+        rg_line, rg_id = parse_rg(args.r)
+        if rg_id is None:
+            print("[sampe] malformated @RG line", file=sys.stderr)
+            return 1
+    out = open(args.f, "w") if args.f else sys.stdout
+    try:
+        sai2sam_pe(prefixes, sai_pairs, fq1, fq2, popt, out=out,
+                   rg_line=rg_line, rg_id=rg_id)
+    finally:
+        if args.f:
+            out.close()
+    return 0
+
+
+def _two_arg(fn):
+    def cmd(argv: list[str]) -> int:
+        if len(argv) != 2:
+            print("expected: <in> <out>", file=sys.stderr)
+            return 1
+        fn(argv[0], argv[1])
+        return 0
+    return cmd
+
+
+def cmd_fa2pac(argv: list[str]) -> int:
+    from .index.builder import fa2pac
+    if not argv:
+        print("expected: <in.fasta> [<out.prefix>]", file=sys.stderr)
+        return 1
+    fa2pac(argv[0], argv[1] if len(argv) > 1 else None)
+    return 0
+
+
+def cmd_bwtupdate(argv: list[str]) -> int:
+    from .index.builder import bwtupdate
+    if len(argv) != 1:
+        print("expected: <the.bwt>", file=sys.stderr)
+        return 1
+    bwtupdate(argv[0])
+    return 0
+
+
+def cmd_bwt2sa(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ibwa-tpu bwt2sa")
+    ap.add_argument("bwt")
+    ap.add_argument("sa")
+    ap.add_argument("-i", type=int, default=32, help="SA interval")
+    args = ap.parse_args(argv)
+    from .index.builder import bwt2sa
+    bwt2sa(args.bwt, args.sa, args.i)
+    return 0
+
+
+def _cmds():
+    from .index.builder import pac2bwt, pac_rev
+    return {
+        "index": cmd_index,
+        "aln": cmd_aln,
+        "samse": cmd_samse,
+        "sampe": cmd_sampe,
+        "fa2pac": cmd_fa2pac,
+        "pac2bwt": _two_arg(pac2bwt),
+        "pac2bwtgen": _two_arg(pac2bwt),  # same artifact; see builder.py
+        "bwtupdate": cmd_bwtupdate,
+        "pac_rev": _two_arg(pac_rev),
+        "bwt2sa": cmd_bwt2sa,
+    }
+
+
+COMMANDS = _cmds()
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -120,6 +120,75 @@ def bwa_index(fa_path: str, prefix: str | None = None) -> None:
     formats.write_sa(prefix + ".rsa", rev)
 
 
+def fa2pac(fa_path: str, prefix: str | None = None) -> None:
+    """`ibwa fa2pac` (bntseq.c:256-263): FASTA -> .pac/.ann/.amb only."""
+    fasta_to_bnt(fa_path, prefix or fa_path)
+
+
+def pac2bwt(pac_path: str, bwt_path: str) -> None:
+    """`ibwa pac2bwt` / `pac2bwtgen` (bwtmisc.c:56-121): .pac -> raw .bwt
+    (no occ interleaving yet).  The BWT of a text is unique, so the SA-IS
+    construction and the reference's BWT-SW incremental builder produce
+    byte-identical output."""
+    codes = formats.read_pac(pac_path)
+    idx = build_bwt_index(codes, sa_intv=0)
+    # de-interleave: write primary, L2[1..4], plain bwt words
+    seq_len = idx.seq_len
+    n_words = (seq_len + 15) >> 4
+    words = np.zeros(n_words, dtype=np.uint32)
+    # reconstruct plain words from the interleaved layout
+    flat = idx.interleaved
+    widx = 0
+    pos = 0
+    n_blocks = (seq_len + 127) // 128
+    for blk in range(n_blocks):
+        pos += 4
+        take = min(8, n_words - widx)
+        words[widx:widx + take] = flat[pos:pos + take]
+        pos += take
+        widx += take
+    import struct
+
+    with open(bwt_path, "wb") as f:
+        f.write(struct.pack("<I", idx.primary))
+        f.write(np.asarray(idx.L2[1:5], dtype="<u4").tobytes())
+        f.write(words.astype("<u4").tobytes())
+
+
+def bwtupdate(bwt_path: str) -> None:
+    """`ibwa bwtupdate` (bwtmisc.c:122-158): interleave occ checkpoints
+    into a raw .bwt in place."""
+    import struct
+
+    with open(bwt_path, "rb") as f:
+        data = f.read()
+    primary = struct.unpack_from("<I", data, 0)[0]
+    l2 = np.zeros(5, dtype=np.uint32)
+    l2[1:] = np.frombuffer(data, dtype="<u4", count=4, offset=4)
+    words = np.frombuffer(data, dtype="<u4", offset=20).copy()
+    seq_len = int(l2[4])
+    interleaved = formats.interleave_occ(words[: (seq_len + 15) >> 4],
+                                         seq_len)
+    idx = BwtIndex(primary=primary, L2=l2, seq_len=seq_len,
+                   interleaved=interleaved)
+    formats.write_bwt(bwt_path, idx)
+
+
+def pac_rev(pac_path: str, rpac_path: str) -> None:
+    """`ibwa pac_rev` (bwtmisc.c:160-201): .pac -> reversed .rpac."""
+    codes = formats.read_pac(pac_path)
+    formats.write_rpac(rpac_path, codes)
+
+
+def bwt2sa(bwt_path: str, sa_path: str, intv: int = 32) -> None:
+    """`ibwa bwt2sa` (bwtmisc.c:248-267): sampled SA from a .bwt."""
+    idx = formats.read_bwt(bwt_path)
+    idx.sa_intv = intv
+    idx.sa = native.cal_sa(idx.interleaved, idx.primary,
+                           idx.L2.astype(np.uint32), idx.seq_len, intv)
+    formats.write_sa(sa_path, idx)
+
+
 def load_index(prefix: str, strand: int) -> BwtIndex:
     """Load .bwt/.sa (strand 0) or .rbwt/.rsa (strand 1)."""
     suffix = (".bwt", ".sa") if strand == 0 else (".rbwt", ".rsa")

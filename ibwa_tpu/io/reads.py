@@ -20,11 +20,13 @@ BWA_MIN_RDLEN = 35
 @dataclasses.dataclass
 class Read:
     name: str
-    seq: np.ndarray   # reversed original, nt4 codes
-    rseq: np.ndarray  # reverse-complement of original, nt4 codes
+    seq: np.ndarray   # reversed clipped original, nt4 codes
+    rseq: np.ndarray  # reverse-complement of clipped original, nt4 codes
     qual: bytes | None
     full_len: int
     clip_len: int
+    orig: np.ndarray | None = None  # full-length forward codes (untrimmed)
+    bc: str = ""                    # barcode (-B), empty if unused
 
     @property
     def len(self) -> int:
@@ -76,5 +78,6 @@ def load_reads(path: str, trim_qual: int = 0, is_64: bool = False
             qual=qual,
             full_len=full_len,
             clip_len=clip,
+            orig=codes,
         ))
     return reads

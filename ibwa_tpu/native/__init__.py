@@ -59,6 +59,16 @@ def load() -> ctypes.CDLL:
         lib.ibwa_occ.restype = ctypes.c_uint32
         lib.ibwa_lrand48.argtypes = [u64p, ctypes.c_uint64, u32p]
         lib.ibwa_drand48.argtypes = [u64p, ctypes.c_uint64, f64p]
+        lib.ibwa_global_aln.argtypes = [
+            u8p, ctypes.c_int32, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+            ctypes.c_int32, u32p, ctypes.c_int32, i32p]
+        lib.ibwa_global_aln.restype = ctypes.c_int32
+        lib.ibwa_local_aln.argtypes = [
+            u8p, ctypes.c_int32, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
+            ctypes.c_int32, u32p, ctypes.c_int32, i32p]
+        lib.ibwa_local_aln.restype = ctypes.c_int32
         _lib = lib
         return lib
 
@@ -125,6 +135,69 @@ def occ(interleaved: np.ndarray, primary: int, l2: np.ndarray, seq_len: int,
     l2 = np.ascontiguousarray(l2, dtype=np.uint32)
     return int(lib.ibwa_occ(_u32(interleaved), primary, _u32(l2), seq_len,
                             k & 0xFFFFFFFF, c))
+
+
+# aln_sm_maq scoring matrix + aln_param_bwa (stdaln.c:212-227)
+SM_MAQ = np.array([11, -19, -19, -19, -13,
+                   -19, 11, -19, -19, -13,
+                   -19, -19, 11, -19, -13,
+                   -19, -19, -19, 11, -13,
+                   -13, -13, -13, -13, -13], dtype=np.int32)
+BWA_GAP_OPEN, BWA_GAP_EXT, BWA_GAP_END, BWA_BAND = 26, 9, 5, 50
+
+
+def global_aln(ref: np.ndarray, read: np.ndarray,
+               gap_open: int = BWA_GAP_OPEN, gap_ext: int = BWA_GAP_EXT,
+               gap_end: int = BWA_GAP_END, band: int = BWA_BAND,
+               matrix: np.ndarray = SM_MAQ, row: int = 5
+               ) -> tuple[list[int], int]:
+    """Banded global affine-gap alignment (aln_global_core semantics).
+
+    ref/read: uint8 2-bit codes (4 = N).  Returns (cigar, score) with
+    cigar entries packed op<<29|len (bwa_cigar_t, bwtaln.h:44-49)."""
+    lib = load()
+    ref = np.ascontiguousarray(ref, dtype=np.uint8)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    cap = len(ref) + len(read) + 2
+    out = np.empty(cap, dtype=np.uint32)
+    score = np.zeros(1, dtype=np.int32)
+    n = lib.ibwa_global_aln(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref),
+        read.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(read),
+        gap_open, gap_ext, gap_end, band,
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), row,
+        _u32(out), cap,
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        raise RuntimeError("ibwa_global_aln: cigar buffer overflow")
+    return [int(x) for x in out[:n]], int(score[0])
+
+
+def local_aln(ref: np.ndarray, read: np.ndarray, thres: int = 1,
+              gap_open: int = BWA_GAP_OPEN, gap_ext: int = BWA_GAP_EXT,
+              band: int = BWA_BAND, matrix: np.ndarray = SM_MAQ,
+              row: int = 5) -> tuple[list[int], int, int, int, int, int]:
+    """Banded local SW (aln_local_core semantics, path fill included).
+
+    Returns (cigar, score, first_i, first_j, end_i, end_j); empty cigar
+    means no acceptable local alignment."""
+    lib = load()
+    ref = np.ascontiguousarray(ref, dtype=np.uint8)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    cap = len(ref) + len(read) + 2
+    out = np.empty(cap, dtype=np.uint32)
+    meta = np.zeros(5, dtype=np.int32)
+    n = lib.ibwa_local_aln(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref),
+        read.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(read),
+        gap_open, gap_ext, band,
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), row, thres,
+        _u32(out), cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        raise RuntimeError("ibwa_local_aln: cigar buffer overflow")
+    return ([int(x) for x in out[:n]], int(meta[0]), int(meta[1]),
+            int(meta[2]), int(meta[3]), int(meta[4]))
 
 
 def lrand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:

@@ -537,3 +537,185 @@ int32_t ibwa_global_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Banded local alignment (Smith-Waterman) matching aln_local_core
+// (stdaln.c:529-761): packed 16+16-bit h/e rows with overflow rescaling,
+// forward pass for (score, end), banded reverse pass for start, then a
+// global-DP path fill with doubling band.  Used by PE mate rescue
+// (bwa_sw_core, bwasw.c:29-112).
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr int kOverflowThreshold = 32000;
+constexpr int kOverflowReduce = 16000;
+}
+
+extern "C" {
+
+// Returns n_cigar (0 => no acceptable alignment).  out_meta receives
+// [score, first_i, first_j, end_i, end_j] where first_i/first_j are the
+// path cell adjacent to the alignment start (reference path_t
+// path[path_len-1] coordinates, used by bwa_sw_core's clip math).
+int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
+                       int32_t len2, int32_t gap_open, int32_t gap_ext,
+                       int32_t band, const int32_t* matrix, int32_t row,
+                       int32_t thres, uint32_t* out_cigar, int32_t out_cap,
+                       int32_t* out_meta) {
+  out_meta[0] = -1;
+  if (len1 == 0 || len2 == 0) return 0;
+  const int q = gap_open, r = gap_ext, qr = q + r;
+  const int64_t qr_shift = (int64_t)(qr + 1) << 16;
+
+  int max_score = 0;
+  for (int i = 0; i < row * row; ++i)
+    if (matrix[i] > max_score) max_score = matrix[i];
+
+  // score profile: s_array[c][i] = matrix[c][seq1[i]]  (1-based i)
+  std::vector<int> prof(row * (len1 + 1));
+  for (int c = 0; c < row; ++c)
+    for (int i = 1; i <= len1; ++i)
+      prof[c * (len1 + 1) + i] = matrix[c * row + seq1[i - 1]];
+
+  std::vector<int32_t> eh(len1 + 2, 0);  // packed h<<16 | e
+  int score_f = 0, end_i = 0, end_j = 0;
+  int is_overflow = 0, of_base = 0;
+
+  // forward pass
+  for (int j = 1; j <= len2; ++j) {
+    int last_h = 0, f = 0;
+    const int* sa = &prof[seq2[j - 1] * (len1 + 1)];
+    if (is_overflow) {
+      score_f -= kOverflowReduce;
+      of_base += kOverflowReduce;
+      is_overflow = 0;
+      for (int i = 0; i <= len1; ++i) {
+        int h = eh[i] >> 16, e = eh[i] & 0xffff;
+        e = e < kOverflowReduce ? 0 : e - kOverflowReduce;
+        h = h < kOverflowReduce ? 0 : h - kOverflowReduce;
+        eh[i] = (h << 16) | e;
+      }
+    }
+    for (int i = 1; i <= len1; ++i) {
+      int curr_h = (eh[i - 1] >> 16) + sa[i];
+      if (curr_h < 0) curr_h = 0;
+      if (last_h > 0) {
+        f = (f > last_h - q) ? f - r : last_h - qr;
+        if (curr_h < f) curr_h = f;
+      }
+      if (eh[i] >= qr_shift) {
+        int curr_last_h = eh[i] >> 16;
+        int e = ((eh[i - 1] & 0xffff) > curr_last_h - q)
+                    ? (eh[i - 1] & 0xffff) - r : curr_last_h - qr;
+        if (curr_h < e) curr_h = e;
+        eh[i - 1] = (last_h << 16) | e;
+      } else {
+        eh[i - 1] = last_h << 16;
+      }
+      last_h = curr_h;
+      if (score_f < curr_h) {
+        score_f = curr_h; end_i = i; end_j = j;
+        if (score_f > kOverflowThreshold) is_overflow = 1;
+      }
+    }
+    eh[len1] = last_h << 16;
+  }
+  score_f += of_base;
+  out_meta[0] = score_f;
+  if (score_f < thres) return 0;
+
+  // reverse pass (banded): find the alignment start
+  for (int i = 0; i <= end_i; ++i) eh[i] = 0;
+  if (end_i == 0 || end_j == 0) return 0;
+  int score_r = matrix[seq1[end_i - 1] * row + seq2[end_j - 1]];
+  is_overflow = of_base = 0;
+  int start_i = end_i, start_j = end_j;
+  eh[end_i] = (int32_t)((qr + score_r)) << 16;
+  int start = end_i - 1;
+  int end = end_i - 3;
+  if (end <= 0) end = 0;
+
+  for (int j = end_j - 1; j != 0; --j) {
+    int last_h = 0, f = 0;
+    const int* sa = &prof[seq2[j - 1] * (len1 + 1)];
+    if (is_overflow) {
+      score_r -= kOverflowReduce;
+      of_base += kOverflowReduce;
+      is_overflow = 0;
+      for (int i = start; i >= end; --i) {
+        int h = eh[i + 1] >> 16, e = eh[i + 1] & 0xffff;
+        e = e < kOverflowReduce ? 0 : e - kOverflowReduce;
+        h = h < kOverflowReduce ? 0 : h - kOverflowReduce;
+        eh[i + 1] = (h << 16) | e;
+      }
+    }
+    int i = start;
+    for (; i != end; --i) {
+      int curr_h = (eh[i + 1] >> 16) + sa[i];
+      if (curr_h < 0) curr_h = 0;
+      if (last_h > 0) {
+        f = (f > last_h - q) ? f - r : last_h - qr;
+        if (curr_h < f) curr_h = f;
+      }
+      int curr_last_h = eh[i] >> 16;
+      int e = ((eh[i + 1] & 0xffff) > curr_last_h - q)
+                  ? (eh[i + 1] & 0xffff) - r : curr_last_h - qr;
+      if (e < 0) e = 0;
+      if (curr_h < e) curr_h = e;
+      eh[i + 1] = (last_h << 16) | e;
+      last_h = curr_h;
+      if (score_r < curr_h) {
+        score_r = curr_h; start_i = i; start_j = j;
+        if (score_r + of_base - qr == score_f) { j = 1; break; }
+        if (score_r > kOverflowThreshold) is_overflow = 1;
+      }
+    }
+    eh[i + 1] = last_h << 16;
+    if ((eh[start] >> 16) <= qr) --start;
+    if (start <= 0) start = 0;
+    end = start_i - (start_j - j)
+          - (score_r + of_base + (start_j - j) * max_score) / r - 1;
+    if (end <= 0) end = 0;
+  }
+
+  score_r += of_base;
+  score_r -= qr;
+
+  // path fill by banded global DP with doubling band (gap_end = -1)
+  int score_g = 0;
+  int n_cigar = 0;
+  int jmax = (end_i - start_i > end_j - start_j) ? end_i - start_i
+                                                 : end_j - start_j;
+  ++jmax;
+  for (int bw = band;; bw <<= 1) {
+    int32_t sc = 0;
+    n_cigar = ibwa_global_aln(seq1 + (start_i - 1), end_i - start_i + 1,
+                              seq2 + (start_j - 1), end_j - start_j + 1,
+                              gap_open, gap_ext, /*gap_end=*/-1, bw,
+                              matrix, row, out_cigar, out_cap, &sc);
+    if (n_cigar < 0) return -1;
+    score_g = sc;
+    if (score_g == score_r || score_f == score_g) break;
+    if (bw > jmax) break;
+  }
+  if (score_r > score_g && score_f > score_g) {
+    out_meta[0] = -1;  // reference warns "Potential bug" and flags -1
+  } else {
+    out_meta[0] = score_g;
+  }
+
+  // first path cell (reference path[path_len-1] after coordinate shift)
+  int fi = 0, fj = 0;
+  if (n_cigar > 0) {
+    uint32_t op = out_cigar[0] >> 29;
+    fi = (op == 0 || op == 2) ? 1 : 0;
+    fj = (op == 0 || op == 1) ? 1 : 0;
+  }
+  out_meta[1] = fi + start_i - 1;
+  out_meta[2] = fj + start_j - 1;
+  out_meta[3] = end_i;
+  out_meta[4] = end_j;
+  return n_cigar;
+}
+
+}  // extern "C"
