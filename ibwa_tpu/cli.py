@@ -193,6 +193,43 @@ def cmd_bwt2sa(argv: list[str]) -> int:
     return 0
 
 
+def cmd_bwasw(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ibwa-tpu bwasw")
+    ap.add_argument("prefix")
+    ap.add_argument("query")
+    ap.add_argument("-a", type=int, default=1, help="match score")
+    ap.add_argument("-b", type=int, default=3, help="mismatch penalty")
+    ap.add_argument("-q", type=int, default=5, help="gap open penalty")
+    ap.add_argument("-r", type=int, default=2, help="gap extension penalty")
+    ap.add_argument("-w", type=int, default=50, help="band width")
+    ap.add_argument("-T", type=int, default=30, help="score threshold")
+    ap.add_argument("-z", type=int, default=1, help="Z-best")
+    ap.add_argument("-s", type=int, default=3, help="max seed interval")
+    ap.add_argument("-m", type=float, default=0.5, help="mask level")
+    ap.add_argument("-c", type=float, default=5.5, help="length coef")
+    ap.add_argument("-N", type=int, default=5, help="seeds to trigger rev")
+    ap.add_argument("-H", action="store_true", help="hard clipping")
+    ap.add_argument("-t", type=int, default=1, help="threads")
+    ap.add_argument("-f", default=None, help="output file [stdout]")
+    args = ap.parse_args(argv)
+    from .bwasw.aux import bsw2_aln
+    from .bwasw.core import Bsw2Opt
+    opt = Bsw2Opt(a=args.a, b=args.b, q=args.q, r=args.r, bw=args.w,
+                  t=args.T, z=args.z, is_=args.s, mask_level=args.m,
+                  coef=args.c, t_seeds=args.N,
+                  hard_clip=1 if args.H else 0, n_threads=args.t)
+    # bwtsw2_main.c:82-83: scale t and coef by the match score
+    opt.t *= opt.a
+    opt.coef *= opt.a
+    out = open(args.f, "w") if args.f else sys.stdout
+    try:
+        bsw2_aln(opt, args.prefix, args.query, out=out)
+    finally:
+        if args.f:
+            out.close()
+    return 0
+
+
 def _cmds():
     from .index.builder import pac2bwt, pac_rev
     return {
@@ -206,6 +243,7 @@ def _cmds():
         "bwtupdate": cmd_bwtupdate,
         "pac_rev": _two_arg(pac_rev),
         "bwt2sa": cmd_bwt2sa,
+        "bwasw": cmd_bwasw,
     }
 
 

@@ -69,6 +69,12 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
             ctypes.c_int32, u32p, ctypes.c_int32, i32p]
         lib.ibwa_local_aln.restype = ctypes.c_int32
+        lib.ibwa_extend_aln.argtypes = [
+            u8p, ctypes.c_int32, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
+            ctypes.c_int32, i32p]
+        lib.ibwa_occ4.argtypes = [u32p, ctypes.c_uint32, u32p,
+                                  ctypes.c_uint32, ctypes.c_uint32, u32p]
         _lib = lib
         return lib
 
@@ -198,6 +204,34 @@ def local_aln(ref: np.ndarray, read: np.ndarray, thres: int = 1,
         raise RuntimeError("ibwa_local_aln: cigar buffer overflow")
     return ([int(x) for x in out[:n]], int(meta[0]), int(meta[1]),
             int(meta[2]), int(meta[3]), int(meta[4]))
+
+
+def extend_aln(ref: np.ndarray, read: np.ndarray, gap_open: int,
+               gap_ext: int, band: int, matrix: np.ndarray, G0: int
+               ) -> tuple[int, int, int]:
+    """One-sided extension (aln_extend_core): (score, end_i, end_j)."""
+    lib = load()
+    ref = np.ascontiguousarray(ref, dtype=np.uint8)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    meta = np.zeros(3, dtype=np.int32)
+    lib.ibwa_extend_aln(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref),
+        read.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(read),
+        gap_open, gap_ext, band,
+        np.ascontiguousarray(matrix, dtype=np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)), 5, G0,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return int(meta[0]), int(meta[1]), int(meta[2])
+
+
+def occ4(interleaved: np.ndarray, primary: int, l2: np.ndarray,
+         seq_len: int, k: int) -> np.ndarray:
+    """bwt_occ4 on the interleaved layout (single query)."""
+    lib = load()
+    out = np.zeros(4, dtype=np.uint32)
+    lib.ibwa_occ4(_u32(interleaved), primary, _u32(l2), seq_len,
+                  k & 0xFFFFFFFF, _u32(out))
+    return out
 
 
 def lrand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:

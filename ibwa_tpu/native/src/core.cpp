@@ -719,3 +719,125 @@ int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One-sided seed extension matching aln_extend_core (stdaln.c:862-1008):
+// banded SW seeded with score G0 at the origin, adaptive band shrink, no
+// traceback (BWA-SW only needs the best endpoint; the final CIGAR comes
+// from a separate global DP, bwtsw2_aux.c:167-216).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// out_meta = [score, end_i, end_j]
+void ibwa_extend_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
+                     int32_t len2, int32_t gap_open, int32_t gap_ext,
+                     int32_t band, const int32_t* matrix, int32_t row,
+                     int32_t G0, int32_t* out_meta) {
+  out_meta[0] = -1;
+  out_meta[1] = out_meta[2] = 0;
+  if (len1 == 0 || len2 == 0) return;
+  const int q = gap_open, r = gap_ext, qr = q + r;
+
+  std::vector<int> prof(row * (len1 + 1));
+  for (int c = 0; c < row; ++c)
+    for (int i = 1; i <= len1; ++i)
+      prof[c * (len1 + 1) + i] = matrix[c * row + seq1[i - 1]];
+
+  std::vector<uint32_t> eh(len1 + 2, 0);
+  int start = 1, end = 2;
+  int end_i = 0, end_j = 0, score = 0;
+  int is_overflow = 0, of_base = 0;
+  eh[1] = (uint32_t)G0 << 16;
+
+  for (int j = 1; j <= len2; ++j) {
+    int h1 = 0, f = 0;
+    const int* sa = &prof[seq2[j - 1] * (len1 + 1)];
+    int s2 = j - band;
+    if (s2 < 1) s2 = 1;
+    if (s2 > start) start = s2;
+    int e2 = j + band;
+    if (e2 > len1 + 1) e2 = len1 + 1;
+    if (e2 < end) end = e2;
+    if (start == end) break;
+    if (is_overflow) {
+      score -= kOverflowReduce;
+      of_base += kOverflowReduce;
+      is_overflow = 0;
+      for (int i = start; i <= end; ++i) {
+        int h = eh[i] >> 16, e = eh[i] & 0xffff;
+        e = e < kOverflowReduce ? 0 : e - kOverflowReduce;
+        h = h < kOverflowReduce ? 0 : h - kOverflowReduce;
+        eh[i] = ((uint32_t)h << 16) | e;
+      }
+    }
+    int nstart = 0, nend = 0;
+    for (int i = start; i < end; ++i) {
+      int h = (int)(eh[i] >> 16);
+      int e = eh[i] & 0xffff;
+      eh[i] = (uint32_t)h1 << 16;
+      h += h ? sa[i] : 0;  // left_core specific: empty cells stay empty
+      h = h > e ? h : e;
+      h = h > f ? h : f;
+      h1 = h;
+      if (h > 0) {
+        if (nstart == 0) nstart = i;
+        nend = i;
+        if (score < h) {
+          score = h; end_i = i; end_j = j;
+          if (score > kOverflowThreshold) is_overflow = 1;
+        }
+      }
+      h -= qr;
+      h = h > 0 ? h : 0;
+      e -= r;
+      e = e > h ? e : h;
+      f -= r;
+      f = f > h ? f : h;
+      eh[i] |= (uint32_t)e;
+    }
+    eh[end] = (uint32_t)h1 << 16;
+    if (nend <= 0) break;
+    start = nstart;
+    end = nend + 3;
+  }
+
+  score += of_base - 1;
+  out_meta[0] = score;
+  out_meta[1] = end_i;
+  out_meta[2] = end_j;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// bwt_occ4 on the interleaved layout (bwt.c:139-175); single query.
+void ibwa_occ4(const uint32_t* interleaved, uint32_t primary,
+               const uint32_t* l2, uint32_t seq_len, uint32_t k,
+               uint32_t* out) {
+  InterleavedBwt b{interleaved, primary,
+                   {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len};
+  if (k == 0xFFFFFFFFu) {
+    out[0] = out[1] = out[2] = out[3] = 0;
+    return;
+  }
+  if (k == seq_len) {
+    for (int c = 0; c < 4; ++c) out[c] = b.l2[c + 1] - b.l2[c];
+    return;
+  }
+  if (k >= b.primary) --k;
+  const uint32_t* blk = b.data + (k / 128) * 12;
+  const uint32_t* w = blk + 4;
+  uint32_t base0 = (k / 128) * 128;
+  uint32_t full_words = (k - base0) / 16;
+  for (int c = 0; c < 4; ++c) {
+    uint32_t n = blk[c];
+    for (uint32_t j = 0; j < full_words; ++j)
+      n += count_code_prefix(w[j], c, 16);
+    n += count_code_prefix(w[full_words], c, (int)(k % 16) + 1);
+    out[c] = n;
+  }
+}
+
+}  // extern "C"
