@@ -22,8 +22,8 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parent
 WORK = REPO / ".bench"
-GENOME_LEN = 2_000_000
-N_READS = 8192
+GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
+N_READS = 16384
 READ_LEN = 100
 
 

@@ -55,7 +55,7 @@ I32 = jnp.int32
 INT32_MAX = 0x7FFFFFFF
 
 # device capacity knobs (overflow => host fallback, never wrong answers)
-ACAP = 2048      # entry arena slots per read
+ACAP = 1024      # entry arena slots per read
 HCAP = 64        # max hits recorded per read
 MAX_ITERS = 16384
 MAX_SEQ = 0xFFFFF  # seqno field width in the priority key
@@ -79,6 +79,7 @@ class EngineConfig:
     max_top2: int
     max_entries: int
     max_seed_diff: int
+    iter_cap: int     # per-read device step budget (tail -> host search)
     gape_mode: bool   # BWA_MODE_GAPE
     nonstop: bool     # BWA_MODE_NONSTOP
     loggap: bool      # BWA_MODE_LOGGAP
@@ -146,11 +147,27 @@ def _compute_widths(fm: DeviceFmPair, seqs, lens, Lw: int):
     return w, bid
 
 
-def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
-                 has_seed, st):
-    """One pop-expand step for every active read."""
-    (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
-     hits, n_hits,
+def _sel4(c, table):
+    """table[..., c] via arithmetic select (avoids slow tiny gathers)."""
+    out = jnp.zeros(c.shape, table.dtype)
+    for j in range(4):
+        out = out + jnp.where(c == j, table[..., j], 0)
+    return out
+
+
+def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
+    """One pop-expand step for every active read.
+
+    Layout rules learned from profiles on v5e: keep every loop-carried
+    scatter target a flat [B, N] plane (a packed [B, N, k] array drags a
+    full-array layout copy + a ~1 GB/s scatter through every iteration),
+    fuse the two occ queries into one [B, 2]-row gather of the
+    interleaved block table, and keep reductions off tiny trailing axes.
+    """
+    (rid, lens, has_seed, lane_it,
+     sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+     w, bid, sw, sbid,
+     hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
     B = lens.shape[0]
     rows = jnp.arange(B)
@@ -163,10 +180,18 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     over = stack_n > cfg.max_entries
     done = done | (act & over)
     act = act & ~over
+    # heavy-tail cap: a read burning > ITER_CAP device steps is routed to
+    # the native host search instead of stalling the whole lane block
+    lane_it = lane_it + act.astype(I32)
+    fb = fb | (act & (lane_it > cfg.iter_cap))
+    act = act & (lane_it <= cfg.iter_cap)
 
     # ---- pop: min (score, -push_seqno) == gap_pop (bwtgap.c:66-79) ----
     slot0 = jnp.argmin(key, axis=1).astype(I32)
-    ent = store[rows, slot0]                         # [B, 4]
+    e_k = sk[rows, slot0]
+    e_l = sl_[rows, slot0]
+    m1 = sm1[rows, slot0]
+    m2 = sm2[rows, slot0]
     e_score = key[rows, slot0] >> 20
     rows_act = jnp.where(act, rows, B)
     key = key.at[rows_act, slot0].set(INT32_MAX, mode="drop")
@@ -174,14 +199,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
         slot0, mode="drop")
     ftop = ftop + act.astype(I32)
     stack_n = stack_n - act.astype(I32)
-    e_k = ent[:, 0]
-    e_l = ent[:, 1]
-    m1 = ent[:, 2]
     e_state = (m1 & 3).astype(I32)
     e_a = ((m1 >> 2) & 1).astype(I32)
     e_i = ((m1 >> 3) & 0x1FFF).astype(I32)
     e_ldp = ((m1 >> 16) & 0x1FFF).astype(I32)
-    m2 = ent[:, 3]
     e_nmm = (m2 & 0xFF).astype(I32)
     e_gapo = ((m2 >> 8) & 0xFF).astype(I32)
     e_gape = ((m2 >> 16) & 0xFF).astype(I32)
@@ -194,14 +215,41 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     sidx = (1 - e_a).astype(U32)     # FM strand used for search (fms[1-a])
     is_e = act & (e_state == STATE_E)
     is_norm = act & (e_state != STATE_E)
+    i2 = jnp.maximum(e_i - 1, 0)
+
+    # ---- fused gathers -------------------------------------------------
+    # occ4 at (k-1, l): serves the expansion (bwtgap.c:201) AND the
+    # E-state exact extension (bwt.c:243-246) — one [B,2]-row gather
+    kl = jnp.stack([e_k - 1, e_l], axis=-1)
+    cnt_kl = occ4(fm, sidx[:, None], kl)             # [B, 2, 4]
+    cnt_k = cnt_kl[:, 0]
+    cnt_l = cnt_kl[:, 1]
+    l2b = fm.L2[:4][None, :]
+    kj = l2b + cnt_k + 1                             # [B, 4]
+    lj = l2b + cnt_l
+    # width/bid lookups at (i2-1, i2) — one [B,2]-position gather each
+    pos2 = jnp.stack([jnp.maximum(i2 - 1, 0), i2], axis=-1)
+    r2 = rows[:, None]
+    a2 = e_a[:, None]
+    wg = w[r2, a2, pos2]
+    bg = bid[r2, a2, pos2]
+    wm1, w0_ = wg[:, 0], wg[:, 1]
+    bm1, b0_ = bg[:, 0], bg[:, 1]
+    ii = i2 - (lens - cfg.SL)
+    iim1 = jnp.clip(ii - 1, 0, cfg.SL)
+    ii_c = jnp.clip(ii, 0, cfg.SL)
+    spos2 = jnp.stack([iim1, ii_c], axis=-1)
+    swg = sw[r2, a2, spos2]
+    sbg = sbid[r2, a2, spos2]
+    swm1, sw0 = swg[:, 0], swg[:, 1]
+    sbm1, sb0 = sbg[:, 0], sbg[:, 1]
+    base = seqs[rid, e_a, i2].astype(I32)            # read base (both paths)
 
     # ---- normal entry: budget + D(i) width pruning ----
     m = max_diff - (e_nmm + e_gapo)
     if cfg.gape_mode:
         m = m - e_gape
-    im1 = jnp.maximum(e_i - 1, 0)
-    bid_im1 = bid[rows, e_a, im1]
-    alive = is_norm & (m >= 0) & ~((e_i > 0) & (m < bid_im1))
+    alive = is_norm & (m >= 0) & ~((e_i > 0) & (m < b0_))
 
     hit_direct = alive & (e_i == 0)
     cond_e = alive & (e_i > 0) & (m == 0)
@@ -209,21 +257,11 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
         cond_e = cond_e & ((e_state == STATE_M) | (e_gape == cfg.max_gape))
     expand = alive & ~hit_direct & ~cond_e
 
-    # occ4 at (k-1, l) serves BOTH the expansion (bwtgap.c:201) and the
-    # E-state exact extension (bwt.c:243-246) — same query coordinates.
-    cnt_k = occ4(fm, sidx, e_k - 1)          # [B, 4]
-    cnt_l = occ4(fm, sidx, e_l)
-    l2b = fm.L2[:4][None, :]
-    kj = l2b + cnt_k + 1                     # [B, 4] candidate k per base
-    lj = l2b + cnt_l
-
     # ---- E entry: one base of bwt_match_exact_alt (bwt.c:235-250) ----
-    e_im1 = jnp.maximum(e_i - 1, 0)
-    e_base = seqs[rows, e_a, e_im1].astype(I32)
-    e_cn = jnp.minimum(e_base, 3)
-    e_k2 = kj[rows, e_cn]
-    e_l2 = lj[rows, e_cn]
-    e_go = is_e & (e_i > 0) & (e_base < 4) & (e_k2 <= e_l2)
+    e_cn = jnp.minimum(base, 3)
+    e_k2 = _sel4(e_cn, kj)
+    e_l2 = _sel4(e_cn, lj)
+    e_go = is_e & (e_i > 0) & (base < 4) & (e_k2 <= e_l2)
     hit_e = is_e & (e_i == 0)
 
     # ---- hit bookkeeping (bwtgap.c:159-196) ----
@@ -241,8 +279,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     done = done | brk2
     add = hit & ~brk2
     hseen = jnp.arange(HCAP)[None, :] < n_hits[:, None]
-    dup = ((hits[:, :, 1] == e_k[:, None]) & (hits[:, :, 2] == e_l[:, None])
-           & hseen).any(axis=1)
+    dup = ((hk == e_k[:, None]) & (hl == e_l[:, None]) & hseen).any(axis=1)
     do_add = add & ~((e_gapo > 0) & dup)
     hovf = do_add & (n_hits >= HCAP)
     fb = fb | hovf
@@ -250,49 +287,33 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     slot = jnp.minimum(n_hits, HCAP - 1)
     nmeta = (_pack_m2(e_nmm, e_gapo, e_gape) | (e_a.astype(U32) << 24))
     hrow = jnp.where(do_add, rows, B)
-    hits = hits.at[hrow, slot].set(
-        jnp.stack([nmeta, e_k, e_l], axis=-1), mode="drop")
+    hk = hk.at[hrow, slot].set(e_k, mode="drop")
+    hl = hl.at[hrow, slot].set(e_l, mode="drop")
+    hm = hm.at[hrow, slot].set(nmeta, mode="drop")
     n_hits = n_hits + do_add.astype(I32)
 
-    # gap_shadow width mutation (bwtgap.c:81-91), on strand e_a
-    x = (e_l - e_k + 1)
-    wrow = w[rows, e_a]                      # [B, L+1]
-    brow = bid[rows, e_a]
-    parr = jnp.arange(cfg.L + 1)[None, :]
-    inr = parr < e_ldp[:, None]
-    meq = inr & (wrow == x[:, None])
-    j = jnp.cumsum(meq.astype(I32), axis=1)
-    wnew = jnp.where(inr & (wrow > x[:, None]), wrow - x[:, None],
-                     jnp.where(meq, seq_len_u - j.astype(U32), wrow))
-    bnew = jnp.where(meq, 1, brow)
-    wrow = jnp.where(do_add[:, None], wnew, wrow)
-    brow = jnp.where(do_add[:, None], bnew, brow)
-    w = w.at[rows, e_a].set(wrow)
-    bid = bid.at[rows, e_a].set(brow)
+    # gap_shadow (bwtgap.c:81-91): masked elementwise over both strands
+    x = e_l - e_k + 1
+    strand_sel = (jnp.arange(2)[None, :, None] == e_a[:, None, None])
+    inr = (jnp.arange(cfg.L + 1)[None, None, :]
+           < e_ldp[:, None, None])
+    upd = do_add[:, None, None] & strand_sel & inr
+    meq = upd & (w == x[:, None, None])
+    j = jnp.cumsum(meq.astype(I32), axis=2)
+    w = jnp.where(upd & (w > x[:, None, None]), w - x[:, None, None],
+                  jnp.where(meq, seq_len_u - j.astype(U32), w))
+    bid = jnp.where(meq, 1, bid)
 
     # ---- expansion (bwtgap.c:198-258) ----
-    i2 = jnp.maximum(e_i - 1, 0)
     occv = e_l - e_k + 1
 
     # allow_diff / allow_m from widths + seed widths
-    i2m1 = jnp.maximum(i2 - 1, 0)
-    bm1 = bid[rows, e_a, i2m1]
-    b0_ = bid[rows, e_a, i2]
-    wm1 = w[rows, e_a, i2m1]
-    w0_ = w[rows, e_a, i2]
     ad1 = bm1 > m - 1
     am1 = ~ad1 & (bm1 == m - 1) & (b0_ == m - 1) & (wm1 == w0_)
-    ii = i2 - (lens - cfg.SL)
     m_seed = cfg.max_seed_diff - (e_nmm + e_gapo)
     if cfg.gape_mode:
         m_seed = m_seed - e_gape
     sgate = has_seed & (ii > 0)
-    iim1 = jnp.clip(ii - 1, 0, cfg.SL)
-    ii_c = jnp.clip(ii, 0, cfg.SL)
-    sbm1 = sbid[rows, e_a, iim1]
-    sb0 = sbid[rows, e_a, ii_c]
-    swm1 = sw[rows, e_a, iim1]
-    sw0 = sw[rows, e_a, ii_c]
     ad2 = sgate & (sbm1 > m_seed - 1)
     am2 = sgate & ~(sbm1 > m_seed - 1) & (sbm1 == m_seed - 1) \
         & (sb0 == m_seed - 1) & (swm1 == sw0)
@@ -338,31 +359,30 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     d_ext = (ok_indel & (e_state == STATE_D) & (e_gape < cfg.max_gape)
              & ((e_gape + e_gapo < max_diff) | (occv < cfg.max_del_occ)))
     d_any = d_open | d_ext
-    for j in range(4):
-        c_valid[1 + j] = d_any & (kj[:, j] <= lj[:, j])
-        c_k[1 + j] = kj[:, j]
-        c_l[1 + j] = lj[:, j]
-        c_i[1 + j] = i2 + 1
-        c_state[1 + j] = jnp.full_like(e_state, STATE_D)
-        c_nmm[1 + j] = e_nmm
-        c_gapo[1 + j] = e_gapo + d_open.astype(I32)
-        c_gape[1 + j] = e_gape + d_ext.astype(I32)
-        c_ldp[1 + j] = i2 + 1
+    for j2 in range(4):
+        c_valid[1 + j2] = d_any & (kj[:, j2] <= lj[:, j2])
+        c_k[1 + j2] = kj[:, j2]
+        c_l[1 + j2] = lj[:, j2]
+        c_i[1 + j2] = i2 + 1
+        c_state[1 + j2] = jnp.full_like(e_state, STATE_D)
+        c_nmm[1 + j2] = e_nmm
+        c_gapo[1 + j2] = e_gapo + d_open.astype(I32)
+        c_gape[1 + j2] = e_gape + d_ext.astype(I32)
+        c_ldp[1 + j2] = i2 + 1
 
     # slots 5-8: mismatch/match, j = 1..4, c = (base + j) & 3
-    base = seqs[rows, e_a, i2].astype(I32)
     allow_full = allow_diff & allow_m
-    for j in range(1, 5):
-        c = (base + j) & 3
-        is_mm = (j != 4) | (base > 3)
-        kc = kj[rows, c]
-        lc = lj[rows, c]
+    for j2 in range(1, 5):
+        c = (base + j2) & 3
+        is_mm = (j2 != 4) | (base > 3)
+        kc = _sel4(c, kj)
+        lc = _sel4(c, lj)
         v = expand & (kc <= lc)
-        if j != 4:
+        if j2 != 4:
             v = v & allow_full
         else:
             v = v & (allow_full | (base < 4))
-        s5 = 4 + j
+        s5 = 4 + j2
         c_valid[s5] = v
         c_k[s5] = kc
         c_l[s5] = lc
@@ -377,18 +397,39 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
         c_gape[s5] = e_gape
         c_ldp[s5] = jnp.where(mmv > 0, i2, e_ldp)
 
-    # slot 9: exact-extension chain entry (spawn or continuation)
-    c_valid[9] = cond_e | e_go
-    c_k[9] = jnp.where(cond_e, e_k, e_k2)
-    c_l[9] = jnp.where(cond_e, e_l, e_l2)
-    c_i[9] = jnp.where(cond_e, e_i, e_i - 1)
+    # slot 9: exact-extension chain entry (spawn or continuation).
+    # E-steps are ~85% of all iterations (one per remaining base,
+    # bwt.c:243-246), so burn down E_UNROLL-1 additional bases here —
+    # the chain is atomic under LIFO order, so this is order-exact.
+    ev = cond_e | e_go
+    ek9 = jnp.where(cond_e, e_k, e_k2)
+    el9 = jnp.where(cond_e, e_l, e_l2)
+    ei9 = jnp.where(cond_e, e_i, e_i - 1)
+    for _u in range(E_UNROLL - 1):
+        cont = ev & (ei9 > 0)
+        bu = seqs[rid, e_a, jnp.maximum(ei9 - 1, 0)].astype(I32)
+        cu = jnp.minimum(bu, 3).astype(U32)
+        klu = jnp.stack([ek9 - 1, el9], axis=-1)
+        ou = occ1(fm, sidx[:, None], klu, cu[:, None])   # [B, 2]
+        l2u = _sel4(cu, jnp.broadcast_to(fm.L2[:4][None, :], (B, 4)))
+        k2u = l2u + ou[:, 0] + 1
+        l2v = l2u + ou[:, 1]
+        okx = cont & (bu < 4) & (k2u <= l2v)
+        ev = ev & ~(cont & ~okx)
+        ek9 = jnp.where(okx, k2u, ek9)
+        el9 = jnp.where(okx, l2v, el9)
+        ei9 = jnp.where(okx, ei9 - 1, ei9)
+    c_valid[9] = ev
+    c_k[9] = ek9
+    c_l[9] = el9
+    c_i[9] = ei9
     c_state[9] = jnp.full_like(e_state, STATE_E)
     c_nmm[9] = e_nmm
     c_gapo[9] = e_gapo
     c_gape[9] = e_gape
     c_ldp[9] = e_ldp
 
-    # ---- push children, one batched scatter (LIFO parity via seqno) ----
+    # ---- push children, batched per-plane scatters (LIFO via seqno) ----
     ck_ = jnp.stack(c_k, axis=1)                         # [B, 10]
     cl_ = jnp.stack(c_l, axis=1)
     cnmm = jnp.stack(c_nmm, axis=1)
@@ -408,8 +449,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     slots = jnp.take_along_axis(
         freelist, jnp.clip(ftop[:, None] - 1 - ofs, 0, ACAP - 1), axis=1)
     rows2 = jnp.where(cv, rows[:, None], B)
-    word = jnp.stack([ck_, cl_, cm1, cm2], axis=-1)      # [B, 10, 4]
-    store = store.at[rows2, slots].set(word, mode="drop")
+    sk = sk.at[rows2, slots].set(ck_, mode="drop")
+    sl_ = sl_.at[rows2, slots].set(cl_, mode="drop")
+    sm1 = sm1.at[rows2, slots].set(cm1, mode="drop")
+    sm2 = sm2.at[rows2, slots].set(cm2, mode="drop")
     kv = (sc << 20) | (MAX_SEQ - (seqc[:, None] + ofs))
     key = key.at[rows2, slots].set(kv, mode="drop")
     ftop = ftop - total
@@ -417,34 +460,37 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens,
     stack_n = stack_n + total
 
     it = it + 1
-    return (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
-            hits, n_hits,
+    return (rid, lens, has_seed, lane_it,
+            sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+            w, bid, sw, sbid,
+            hk, hl, hm, n_hits,
             best_score, best_cnt, max_diff, done, fb, it)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("seq_len", "n_blk"))
-def _run_search(cfg: EngineConfig, ckpt, words, L2, l2diff, primary,
+def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
                 seqs, lens, max_diff0, has_seed, seed_seqs, bad,
                 seq_len: int, n_blk: int):
-    fm = DeviceFmPair(ckpt, words, L2, l2diff, primary, seq_len, n_blk)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk)
     B = lens.shape[0]
 
     w, bid = _compute_widths(fm, seqs, lens, cfg.L)
     slens = jnp.where(has_seed, cfg.SL, 0)
     sw, sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
 
-    store = jnp.zeros((B, ACAP, 4), dtype=U32)
+    # stack planes (flat [B, ACAP] per field; see _search_step docstring)
+    sk = jnp.zeros((B, ACAP), dtype=U32)
+    sl_ = jnp.zeros((B, ACAP), dtype=U32)
+    sm1 = jnp.zeros((B, ACAP), dtype=U32)
+    sm2 = jnp.zeros((B, ACAP), dtype=U32)
     key = jnp.full((B, ACAP), INT32_MAX, dtype=I32)
     # roots in slots 0/1: (a=0, seq 0) then (a=1, seq 1) — a=1 pops first
-    root = lambda a: jnp.stack([
-        jnp.zeros((B,), U32),
-        jnp.full((B,), seq_len, U32),
-        _pack_m1(jnp.full((B,), STATE_M, I32), jnp.full((B,), a, I32),
-                 lens, jnp.zeros((B,), I32)),
-        jnp.zeros((B,), U32)], axis=-1)
-    store = store.at[:, 0].set(root(0))
-    store = store.at[:, 1].set(root(1))
+    sl_ = sl_.at[:, 0].set(seq_len).at[:, 1].set(seq_len)
+    m1_root = lambda a: _pack_m1(
+        jnp.full((B,), STATE_M, I32), jnp.full((B,), a, I32),
+        lens, jnp.zeros((B,), I32))
+    sm1 = sm1.at[:, 0].set(m1_root(0)).at[:, 1].set(m1_root(1))
     key = key.at[:, 0].set(MAX_SEQ - 0)
     key = key.at[:, 1].set(MAX_SEQ - 1)
     # free-list stack holds slots 2..ACAP-1 (top of stack = slot 2)
@@ -456,7 +502,9 @@ def _run_search(cfg: EngineConfig, ckpt, words, L2, l2diff, primary,
     seqc = jnp.full((B,), 2, I32)
     stack_n = jnp.full((B,), 2, I32)
 
-    hits = jnp.zeros((B, HCAP, 3), dtype=U32)
+    hk = jnp.zeros((B, HCAP), dtype=U32)
+    hl = jnp.zeros((B, HCAP), dtype=U32)
+    hm = jnp.zeros((B, HCAP), dtype=U32)
     n_hits = jnp.zeros((B,), dtype=I32)
     best_score = (max_diff0 + 1) * cfg.s_mm + (cfg.max_gapo + 1) * cfg.s_gapo \
         + (cfg.max_gape + 1) * cfg.s_gape
@@ -465,23 +513,180 @@ def _run_search(cfg: EngineConfig, ckpt, words, L2, l2diff, primary,
     fb = jnp.zeros((B,), dtype=bool)
     it = jnp.zeros((), dtype=I32)
 
-    st = (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
-          hits, n_hits,
+    rid = jnp.arange(B, dtype=I32)
+    lane_it = jnp.zeros((B,), I32)
+    st = (rid, lens, has_seed, lane_it,
+          sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+          w, bid, sw, sbid,
+          hk, hl, hm, n_hits,
           best_score, best_cnt, max_diff0, done, fb, it)
 
     def cond(st):
-        done, fb, it = st[15], st[16], st[17]
+        done, fb, it = st[24], st[25], st[26]
         return jnp.any(~done & ~fb) & (it < MAX_ITERS)
 
     def body(st):
-        return _search_step(cfg, fm, seqs, lens, has_seed, st)
+        return _search_step(cfg, fm, seqs, st)
 
     st = jax.lax.while_loop(cond, body, st)
-    (store, key, freelist, ftop, seqc, stack_n, w, bid, sw, sbid,
-     hits, n_hits,
+    (rid, lens, has_seed, lane_it,
+     sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+     w, bid, sw, sbid,
+     hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
     fb = fb | (~done)   # iteration bound hit
+    hits = jnp.stack([hm, hk, hl], axis=-1)
     return hits, n_hits, fb, it
+
+
+E_UNROLL = 8     # exact-extension bases consumed per E pop
+ITER_CAP = 384    # pushes before a read is routed to the host emulator
+SWITCH_K = 16    # search steps between lane-switch phases
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("seq_len", "n_blk", "n_lanes"))
+def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
+                           seqs, lens, max_diff0, has_seed, seed_seqs, bad,
+                           seq_len: int, n_blk: int, n_lanes: int):
+    """Persistent-lane scheduler: B lanes stream through N reads.
+
+    A plain batched dispatch pays max-pops-over-batch iterations while
+    most lanes idle (the straggler tax).  Here each lane processes reads
+    round-robin (lane b takes reads b, b+B, ...): every SWITCH_K steps a
+    switch phase flushes finished lanes' hits to the [N] output arrays
+    and reloads them with their next read, so total iterations track the
+    MEAN pops per read instead of the max.
+    """
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk)
+    N = lens.shape[0]
+    B = n_lanes
+
+    big_w, big_bid = _compute_widths(fm, seqs, lens, cfg.L)
+    slens = jnp.where(has_seed, cfg.SL, 0)
+    big_sw, big_sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
+
+    out_hk = jnp.zeros((N, HCAP), dtype=U32)
+    out_hl = jnp.zeros((N, HCAP), dtype=U32)
+    out_hm = jnp.zeros((N, HCAP), dtype=U32)
+    out_nh = jnp.zeros((N,), dtype=I32)
+    out_fb = jnp.zeros((N,), dtype=bool)
+
+    rows = jnp.arange(B)
+    pristine_free = jnp.concatenate(
+        [jnp.arange(ACAP - 1, 1, -1, dtype=I32),
+         jnp.zeros((2,), dtype=I32)])[None, :]
+
+    def switch(carry):
+        (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st) = carry
+        (rid, lens_l, hs_l, lane_it,
+         sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+         w, bid, sw, sbid,
+         hk, hl, hm, n_hits,
+         best_score, best_cnt, max_diff, done, fb, it) = st
+
+        fin = done | fb
+        valid = (rid >= 0) & (rid < N) & fin
+        orow = jnp.where(valid, rid, N)
+        out_hk = out_hk.at[orow].set(hk, mode="drop")
+        out_hl = out_hl.at[orow].set(hl, mode="drop")
+        out_hm = out_hm.at[orow].set(hm, mode="drop")
+        out_nh = out_nh.at[orow].set(n_hits, mode="drop")
+        out_fb = out_fb.at[orow].set(fb, mode="drop")
+        remaining = remaining - valid.astype(I32).sum()
+
+        new_rid = jnp.where(fin, rid + B, rid)
+        load = fin & (new_rid < N)
+        park = fin & (new_rid >= N)
+        rid = new_rid
+        crid = jnp.clip(rid, 0, N - 1)
+
+        lens_l = jnp.where(load, lens[crid], lens_l)
+        hs_l = jnp.where(load, has_seed[crid], hs_l)
+        md_new = max_diff0[crid]
+        max_diff = jnp.where(load, md_new, max_diff)
+        bad_l = bad[crid]
+
+        l3 = load[:, None, None]
+        w = jnp.where(l3, big_w[crid], w)
+        bid = jnp.where(l3, big_bid[crid], bid)
+        sw = jnp.where(l3, big_sw[crid], sw)
+        sbid = jnp.where(l3, big_sbid[crid], sbid)
+
+        lrow = jnp.where(load, rows, B)
+        key = jnp.where(load[:, None], INT32_MAX, key)
+        key = key.at[lrow, 0].set(MAX_SEQ - 0, mode="drop")
+        key = key.at[lrow, 1].set(MAX_SEQ - 1, mode="drop")
+        sl_ = sl_.at[lrow, 0].set(seq_len, mode="drop")
+        sl_ = sl_.at[lrow, 1].set(seq_len, mode="drop")
+        sk = sk.at[lrow, 0].set(0, mode="drop")
+        sk = sk.at[lrow, 1].set(0, mode="drop")
+        sm2 = sm2.at[lrow, 0].set(0, mode="drop")
+        sm2 = sm2.at[lrow, 1].set(0, mode="drop")
+        zeros_b = jnp.zeros((B,), I32)
+        sm1 = sm1.at[lrow, 0].set(
+            _pack_m1(jnp.full((B,), STATE_M, I32), zeros_b, lens_l,
+                     zeros_b), mode="drop")
+        sm1 = sm1.at[lrow, 1].set(
+            _pack_m1(jnp.full((B,), STATE_M, I32), jnp.ones((B,), I32),
+                     lens_l, zeros_b), mode="drop")
+        freelist = jnp.where(load[:, None], pristine_free, freelist)
+        ftop = jnp.where(load, ACAP - 2, ftop)
+        seqc = jnp.where(load, 2, seqc)
+        stack_n = jnp.where(load, 2, stack_n)
+        lane_it = jnp.where(load, 0, lane_it)
+        n_hits = jnp.where(load, 0, n_hits)
+        best_score = jnp.where(
+            load, (md_new + 1) * cfg.s_mm + (cfg.max_gapo + 1) * cfg.s_gapo
+            + (cfg.max_gape + 1) * cfg.s_gape, best_score)
+        best_cnt = jnp.where(load, 0, best_cnt)
+        done = jnp.where(fin, park | (load & bad_l), done)
+        fb = jnp.where(fin, False, fb)
+
+        st = (rid, lens_l, hs_l, lane_it,
+              sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+              w, bid, sw, sbid,
+              hk, hl, hm, n_hits,
+              best_score, best_cnt, max_diff, done, fb, it)
+        return (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st)
+
+    # lane state starts "pre-first-read": rid = rows - B, everything done,
+    # so the first switch() performs the initial load (rid<0 rows drop)
+    zb = jnp.zeros((B,), I32)
+    zu = jnp.zeros((B, ACAP), U32)
+    st0 = (rows.astype(I32) - B, zb + 1, jnp.zeros((B,), bool), zb,
+           zu, zu, zu, zu, jnp.full((B, ACAP), INT32_MAX, I32),
+           jnp.broadcast_to(pristine_free, (B, ACAP)),
+           jnp.full((B,), ACAP - 2, I32), zb + 2, zb,
+           jnp.zeros((B, 2, cfg.L + 1), U32),
+           jnp.zeros((B, 2, cfg.L + 1), I32),
+           jnp.zeros((B, 2, cfg.SL + 1), U32),
+           jnp.zeros((B, 2, cfg.SL + 1), I32),
+           jnp.zeros((B, HCAP), U32), jnp.zeros((B, HCAP), U32),
+           jnp.zeros((B, HCAP), U32), zb,
+           zb, zb, zb, jnp.ones((B,), bool), jnp.zeros((B,), bool),
+           jnp.zeros((), I32))
+    carry = (jnp.asarray(N, I32), out_hk, out_hl, out_hm, out_nh, out_fb,
+             st0)
+
+    def cond(carry):
+        return (carry[0] > 0) & (carry[6][26] < MAX_ITERS * 8)
+
+    def body(carry):
+        carry = switch(carry)
+        st = carry[6]
+
+        def inner(_, st):
+            return _search_step(cfg, fm, seqs, st)
+
+        st = jax.lax.fori_loop(0, SWITCH_K, inner, st)
+        return carry[:6] + (st,)
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st = carry
+    out_fb = out_fb | (remaining > 0)  # iteration-bound hit: all fall back
+    hits = jnp.stack([out_hm, out_hk, out_hl], axis=-1)
+    return hits, out_nh, out_fb, st[26]
 
 
 def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
@@ -496,6 +701,7 @@ def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
         indel_end_skip=opt.indel_end_skip, max_top2=opt.max_top2,
         max_entries=min(opt.max_entries, INT32_MAX),
         max_seed_diff=opt.max_seed_diff,
+        iter_cap=ITER_CAP,
         gape_mode=bool(opt.mode & BWA_MODE_GAPE),
         nonstop=bool(opt.mode & BWA_MODE_NONSTOP),
         loggap=bool(opt.mode & BWA_MODE_LOGGAP),
@@ -571,7 +777,7 @@ class JaxAlnEngine:
                     ssq[b, 1] = r[n - SL:n]
                 bad[b] = int((s > 3).sum()) > int(max_diff[lo + b])
             harr, n_hits, fb, it = _run_search(
-                cfg, self.dfm.ckpt, self.dfm.words, self.dfm.L2,
+                cfg, self.dfm.blocks, self.dfm.L2,
                 self.dfm.l2diff, self.dfm.primary,
                 jnp.asarray(sq), jnp.asarray(p_lens),
                 jnp.asarray(p_md), jnp.asarray(hs),
@@ -602,10 +808,10 @@ class JaxAlnEngine:
         self.stats["device_reads"] += n_reads - len(fb_idx)
         self.stats["fallback_reads"] += len(fb_idx)
         if fb_idx:
-            ref_hits = engine_ref.align_batch(
+            fb_hits = native_align_batch(
                 self.fms, [seqs[i] for i in fb_idx],
                 [rseqs[i] for i in fb_idx], opt)
-            for i, h in zip(fb_idx, ref_hits):
+            for i, h in zip(fb_idx, fb_hits):
                 out[i] = h
         return out  # type: ignore[return-value]
 
@@ -622,3 +828,43 @@ def align_batch(fms, seqs, rseqs, opt):
         _ENGINES.clear()
         _ENGINES[key] = eng
     return eng.align_batch(seqs, rseqs, opt)
+
+
+def native_align_batch(fms, seqs, rseqs, opt):
+    """bwa_cal_sa_reg_gap over a batch via the C++ search (identical
+    semantics to engine_ref; OpenMP over reads).  Used for the device
+    engine's heavy-tail fallback and as a standalone CPU engine."""
+    from .. import native
+
+    if not seqs:
+        return []
+    max_len = max(len(s) for s in seqs)
+    batch_opt = dataclasses.replace(opt)
+    if opt.fnr > 0.0:
+        batch_opt.max_diff = cal_maxdiff(max_len, thres=opt.fnr)
+    if batch_opt.max_diff < batch_opt.max_gapo:
+        batch_opt.max_gapo = batch_opt.max_diff
+    if opt.fnr > 0.0:
+        md = np.array([cal_maxdiff(len(s), thres=opt.fnr) for s in seqs],
+                      dtype=np.int32)
+    else:
+        md = np.full(len(seqs), batch_opt.max_diff, dtype=np.int32)
+    sl = np.array([opt.seed_len if opt.seed_len < len(s) else INT32_MAX
+                   for s in seqs], dtype=np.int32)
+    harr, hn = native.match_gap_batch(fms[0], fms[1], seqs, rseqs, md, sl,
+                                      batch_opt)
+    out = []
+    for i in range(len(seqs)):
+        if hn[i] < 0:  # per-read hit capacity overflow: exact re-run
+            out.append(engine_ref.align_batch(
+                fms, [seqs[i]], [rseqs[i]], opt)[0])
+            continue
+        hits = []
+        for t in range(int(hn[i])):
+            meta = int(harr[i, t, 0])
+            hits.append(Hit(n_mm=meta & 0xFF, n_gapo=(meta >> 8) & 0xFF,
+                            n_gape=(meta >> 16) & 0xFF, a=(meta >> 24) & 1,
+                            k=int(harr[i, t, 1]), l=int(harr[i, t, 2]),
+                            score=int(np.int32(harr[i, t, 3]))))
+        out.append(hits)
+    return out

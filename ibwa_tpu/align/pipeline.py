@@ -41,6 +41,9 @@ def aln_to_stream(prefix: str, fq_path: str, opt: GapOpt, out: BinaryIO,
         rseqs = [r.rseq for r in batch]
         if engine == "ref":
             results = engine_ref.align_batch(fms, seqs, rseqs, opt)
+        elif engine == "native":
+            from .engine_jax import native_align_batch
+            results = native_align_batch(fms, seqs, rseqs, opt)
         else:
             from . import engine_jax
             results = engine_jax.align_batch(fms, seqs, rseqs, opt)

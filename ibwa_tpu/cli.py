@@ -40,7 +40,7 @@ def cmd_aln(argv: list[str]) -> int:
     ap.add_argument("-q", type=int, default=None, help="trim quality")
     ap.add_argument("-N", action="store_true", help="non-iterative mode")
     ap.add_argument("-f", default=None, help="output file [stdout]")
-    ap.add_argument("--engine", default="jax", choices=["jax", "ref"])
+    ap.add_argument("--engine", default="jax", choices=["jax", "native", "ref"])
     args = ap.parse_args(argv)
 
     from .align.opts import GapOpt, BWA_MODE_GAPE, BWA_MODE_NONSTOP

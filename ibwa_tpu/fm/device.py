@@ -30,10 +30,13 @@ NEG1 = 0xFFFFFFFF
 
 @dataclasses.dataclass
 class DeviceFmPair:
-    """Both strands' FM-indexes as device arrays (fwd = strand 0)."""
+    """Both strands' FM-indexes as device arrays (fwd = strand 0).
 
-    ckpt: jax.Array     # uint32[2*(n_blk+1), 4]
-    words: jax.Array    # uint32[2*n_blk, 8]
+    blocks packs each 128-base block's 4 occ checkpoints + 8 text words
+    into ONE row (the reference's interleaved layout, bwt.h:56-63) so an
+    occ query is a single 48-byte row gather."""
+
+    blocks: jax.Array   # uint32[2*n_blk, 12]: 4 ckpt words + 8 text words
     L2: jax.Array       # uint32[5] (identical for both strands)
     l2diff: jax.Array   # uint32[4] = L2[1:5] - L2[0:4]
     primary: jax.Array  # uint32[2]
@@ -41,7 +44,7 @@ class DeviceFmPair:
     n_blk: int          # static
 
     def tree_flatten(self):
-        return ((self.ckpt, self.words, self.L2, self.l2diff, self.primary),
+        return ((self.blocks, self.L2, self.l2diff, self.primary),
                 (self.seq_len, self.n_blk))
 
     @classmethod
@@ -57,12 +60,14 @@ def build_device_pair(fwd: FmIndex, rev: FmIndex,
                       put=jnp.asarray) -> DeviceFmPair:
     assert fwd.seq_len == rev.seq_len
     n_blk = (fwd.seq_len + OCC_INTV - 1) // OCC_INTV
-    ckpt = np.concatenate([fwd.ckpt, rev.ckpt], axis=0)
-    words = np.concatenate([fwd.words, rev.words], axis=0)
+    blocks = np.empty((2 * n_blk, 12), dtype=np.uint32)
+    blocks[:n_blk, :4] = fwd.ckpt[:n_blk]
+    blocks[:n_blk, 4:] = fwd.words
+    blocks[n_blk:, :4] = rev.ckpt[:n_blk]
+    blocks[n_blk:, 4:] = rev.words
     l2 = fwd.L2.astype(np.uint32)
     return DeviceFmPair(
-        ckpt=put(ckpt.astype(np.uint32)),
-        words=put(words.astype(np.uint32)),
+        blocks=put(blocks),
         L2=put(l2),
         l2diff=put((l2[1:5] - l2[0:4]).astype(np.uint32)),
         primary=put(np.array([fwd.primary, rev.primary], dtype=np.uint32)),
@@ -77,8 +82,9 @@ def _gather_block(fm: DeviceFmPair, strand, k):
     blk = (k >> 7).astype(jnp.uint32)
     blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
     off = k & jnp.uint32(127)
-    ck = fm.ckpt[strand * jnp.uint32(fm.n_blk + 1) + blk]
-    w = fm.words[strand * jnp.uint32(fm.n_blk) + blk]
+    row = fm.blocks[strand * jnp.uint32(fm.n_blk) + blk]   # [..., 12]
+    ck = row[..., :4]
+    w = row[..., 4:]
     nw = (off >> 4).astype(jnp.int32)       # number of fully-counted words
     nb = ((off & 15) + 1).astype(jnp.uint32)  # bases counted in word nw
     return ck, w, nw, nb
@@ -113,7 +119,12 @@ def occ4(fm: DeviceFmPair, strand, k):
     part = widx == nw[..., None, None]
     pm = _partial_mask(nb)[..., None, None]
     sel = jnp.where(full, t, 0) | jnp.where(part, t & pm, 0)
-    cnt = ck + jax.lax.population_count(sel).sum(axis=-1)
+    pc = jax.lax.population_count(sel)
+    # unrolled lane sum: a tiny trailing-axis reduce lowers to a slow
+    # cross-lane reduction on TPU, elementwise adds do not
+    cnt = ck
+    for j in range(8):
+        cnt = cnt + pc[..., j]
     cnt = jnp.where(is_neg[..., None], 0, cnt)
     cnt = jnp.where(is_full[..., None], fm.l2diff, cnt)
     return cnt
@@ -138,9 +149,16 @@ def occ1(fm: DeviceFmPair, strand, k, c):
     part = widx == nw[..., None]
     pm = _partial_mask(nb)[..., None]
     sel = jnp.where(full, t, 0) | jnp.where(part, t & pm, 0)
-    cnt = (jnp.take_along_axis(ck, c[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
-           + jax.lax.population_count(sel).sum(axis=-1))
+    pc = jax.lax.population_count(sel)
+    # select ck[c] arithmetically + unrolled lane sum (see occ4)
+    cnt = jnp.zeros_like(c)
+    for j in range(4):
+        cnt = cnt + jnp.where(c == j, ck[..., j], 0)
+    for j in range(8):
+        cnt = cnt + pc[..., j]
     cnt = jnp.where(is_neg, 0, cnt)
-    cnt = jnp.where(is_full, fm.l2diff[c], cnt)
+    lc = jnp.zeros_like(c)
+    for j in range(4):
+        lc = lc + jnp.where(c == j, fm.l2diff[j], 0)
+    cnt = jnp.where(is_full, lc, cnt)
     return cnt

@@ -23,7 +23,7 @@ _lib = None
 
 def _build() -> None:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
         _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -75,6 +75,11 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, i32p]
         lib.ibwa_occ4.argtypes = [u32p, ctypes.c_uint32, u32p,
                                   ctypes.c_uint32, ctypes.c_uint32, u32p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ibwa_match_gap_batch.argtypes = [
+            u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
+            ctypes.c_uint32, u8p, u8p, i64p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, u32p, ctypes.c_int32, i32p]
         _lib = lib
         return lib
 
@@ -251,3 +256,44 @@ def drand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:
     lib.ibwa_drand48(st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out, int(st[0])
+
+
+def match_gap_batch(fm_fwd, fm_rev, seqs: list[np.ndarray],
+                    rseqs: list[np.ndarray], max_diffs: np.ndarray,
+                    seed_lens: np.ndarray, opt, cap: int = 250
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Batched host gapped search (bwt_match_gap semantics) over the
+    interleaved FM layouts; OpenMP-parallel over reads.
+
+    Returns (hits uint32[n, cap, 4], counts int32[n]); count -1 means the
+    per-read hit capacity overflowed (caller retries via the emulator)."""
+    lib = load()
+    n = len(seqs)
+    offsets = np.zeros(n, dtype=np.int64)
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    offsets[1:] = np.cumsum(lens[:-1])
+    cat_s = np.concatenate(seqs).astype(np.uint8) if n else \
+        np.empty(0, np.uint8)
+    cat_r = np.concatenate(rseqs).astype(np.uint8) if n else \
+        np.empty(0, np.uint8)
+    optv = np.array([opt.s_mm, opt.s_gapo, opt.s_gape, opt.max_gapo,
+                     opt.max_gape, opt.max_seed_diff, opt.indel_end_skip,
+                     opt.max_del_occ, opt.max_entries, opt.max_top2,
+                     opt.mode], dtype=np.int32)
+    out = np.zeros((n, cap, 4), dtype=np.uint32)
+    out_n = np.zeros(n, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ibwa_match_gap_batch(
+        _u32(fm_fwd._interleaved), fm_fwd.primary,
+        _u32(fm_rev._interleaved), fm_rev.primary,
+        _u32(np.ascontiguousarray(fm_fwd.L2, dtype=np.uint32)),
+        fm_fwd.seq_len,
+        cat_s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cat_r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(i32p),
+        np.ascontiguousarray(max_diffs, dtype=np.int32).ctypes.data_as(i32p),
+        np.ascontiguousarray(seed_lens, dtype=np.int32).ctypes.data_as(i32p),
+        optv.ctypes.data_as(i32p), n, _u32(out), cap,
+        out_n.ctypes.data_as(i32p))
+    return out, out_n

@@ -841,3 +841,366 @@ void ibwa_occ4(const uint32_t* interleaved, uint32_t primary,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host gapped search: exact semantics of bwt_match_gap (bwtgap.c:104-264)
+// including score-bucketed LIFO pop order, D(i)/seed width pruning,
+// top2 stopping, gap_shadow and (k,l) dedup.  Used as the fast fallback
+// for reads whose search exceeds the device engine's step budget (the
+// reference similarly bails at max_entries, bwtgap.c:139).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int ST_M = 0, ST_I = 1, ST_D = 2;
+
+struct GapEntry {
+  int a, i;
+  uint32_t k, l;
+  int n_mm, n_gapo, n_gape, state, last_diff_pos, score;
+};
+
+struct GapOptC {
+  int s_mm, s_gapo, s_gape, max_gapo, max_gape, max_seed_diff;
+  int indel_end_skip, max_del_occ, max_entries, max_top2, mode;
+};
+
+constexpr int MODE_GAPE = 0x01, MODE_LOGGAP = 0x04, MODE_NONSTOP = 0x10;
+
+struct GapStack {
+  std::vector<std::vector<GapEntry>> buckets;
+  int best, n;
+  explicit GapStack(int nb) : buckets(nb), best(nb), n(0) {}
+  void push(const GapEntry& e) {
+    buckets[e.score].push_back(e);
+    ++n;
+    if (e.score < best) best = e.score;
+  }
+  GapEntry pop() {
+    GapEntry e = buckets[best].back();
+    buckets[best].pop_back();
+    --n;
+    if (buckets[best].empty() && n) {
+      int b = best + 1;
+      while (buckets[b].empty()) ++b;
+      best = b;
+    } else if (n == 0) {
+      best = (int)buckets.size();
+    }
+    return e;
+  }
+};
+
+static inline void occ4_at(const InterleavedBwt& b, uint32_t k,
+                           uint32_t cnt[4]) {
+  if (k == 0xFFFFFFFFu) {
+    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+    return;
+  }
+  if (k == b.seq_len) {
+    for (int c = 0; c < 4; ++c) cnt[c] = b.l2[c + 1] - b.l2[c];
+    return;
+  }
+  if (k >= b.primary) --k;
+  const uint32_t* blk = b.data + (k / 128) * 12;
+  const uint32_t* w = blk + 4;
+  uint32_t full = (k % 128) / 16;
+  for (int c = 0; c < 4; ++c) {
+    uint32_t n = blk[c];
+    for (uint32_t j = 0; j < full; ++j) n += count_code_prefix(w[j], c, 16);
+    n += count_code_prefix(w[full], c, (int)(k % 16) + 1);
+    cnt[c] = n;
+  }
+}
+
+static void cal_width_c(const InterleavedBwt& b, const uint8_t* s, int n,
+                        uint32_t* w, int* bid) {
+  uint32_t k = 0, l = b.seq_len;
+  int bb = 0;
+  for (int i = 0; i < n; ++i) {
+    int c = s[i];
+    if (c < 4) {
+      uint32_t ok = occ1(b, k == 0 ? 0xFFFFFFFFu : k - 1, c);
+      uint32_t ol = occ1(b, l, c);
+      k = b.l2[c] + ok + 1;
+      l = b.l2[c] + ol;
+    }
+    if (k > l || c > 3) {
+      k = 0;
+      l = b.seq_len;
+      ++bb;
+    }
+    w[i] = l - k + 1;
+    bid[i] = bb;
+  }
+  w[n] = 0;
+  bid[n] = bb + 1;
+}
+
+static void gap_shadow_c(int64_t x, uint32_t seq_len, int last_diff_pos,
+                         uint32_t* w, int* bid) {
+  int j = 0;
+  for (int i = 0; i < last_diff_pos; ++i) {
+    if ((int64_t)w[i] > x) {
+      w[i] -= (uint32_t)x;
+    } else if ((int64_t)w[i] == x) {
+      bid[i] = 1;
+      ++j;
+      w[i] = seq_len - j;
+    }
+  }
+}
+
+static inline int aln_score_c(int mm, int gapo, int gape,
+                              const GapOptC& o) {
+  return mm * o.s_mm + gapo * o.s_gapo + gape * o.s_gape;
+}
+
+static inline int int_log2_c(uint32_t v) {
+  int c = 0;
+  if (v & 0xFFFF0000u) { v >>= 16; c |= 16; }
+  if (v & 0xFF00) { v >>= 8; c |= 8; }
+  if (v & 0xF0) { v >>= 4; c |= 4; }
+  if (v & 0xC) { v >>= 2; c |= 2; }
+  if (v & 0x2) c |= 1;
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Single-read gapped search. fms[0]=fwd, fms[1]=rev interleaved tables.
+// Returns n_hits (records: meta = n_mm|gapo<<8|gape<<16|a<<24, k, l,
+// score), or -1 on out-capacity overflow.
+int32_t ibwa_match_gap(const uint32_t* itl_fwd, uint32_t primary_fwd,
+                       const uint32_t* itl_rev, uint32_t primary_rev,
+                       const uint32_t* l2, uint32_t seq_len,
+                       const uint8_t* seq, const uint8_t* rseq,
+                       int32_t len, int32_t max_diff, int32_t seed_len,
+                       const int32_t* optv, uint32_t* out, int32_t cap) {
+  GapOptC o{optv[0], optv[1], optv[2], optv[3], optv[4], optv[5],
+            optv[6], optv[7], optv[8], optv[9], optv[10]};
+  InterleavedBwt fms[2] = {
+      {itl_fwd, primary_fwd, {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len},
+      {itl_rev, primary_rev, {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len}};
+  const uint8_t* seqs[2] = {seq, rseq};
+  const int n = len;
+
+  int n_amb = 0;
+  for (int i = 0; i < n; ++i) n_amb += seq[i] > 3;
+  if (n_amb > max_diff) return 0;
+
+  // widths (strand a computed against fms[a]) + optional seed widths
+  std::vector<uint32_t> w0(n + 1), w1(n + 1), sw0, sw1;
+  std::vector<int> b0(n + 1), b1(n + 1), sb0, sb1;
+  cal_width_c(fms[0], seq, n, w0.data(), b0.data());
+  cal_width_c(fms[1], rseq, n, w1.data(), b1.data());
+  uint32_t* W[2] = {w0.data(), w1.data()};
+  int* BID[2] = {b0.data(), b1.data()};
+  bool has_seed = seed_len < n;
+  uint32_t* SW[2] = {nullptr, nullptr};
+  int* SBID[2] = {nullptr, nullptr};
+  if (has_seed) {
+    sw0.resize(seed_len + 1); sw1.resize(seed_len + 1);
+    sb0.resize(seed_len + 1); sb1.resize(seed_len + 1);
+    cal_width_c(fms[0], seq + n - seed_len, seed_len, sw0.data(),
+                sb0.data());
+    cal_width_c(fms[1], rseq + n - seed_len, seed_len, sw1.data(),
+                sb1.data());
+    SW[0] = sw0.data(); SW[1] = sw1.data();
+    SBID[0] = sb0.data(); SBID[1] = sb1.data();
+  }
+
+  const bool gape_mode = o.mode & MODE_GAPE;
+  const bool nonstop = o.mode & MODE_NONSTOP;
+  const bool loggap = o.mode & MODE_LOGGAP;
+
+  int best_score = aln_score_c(max_diff + 1, o.max_gapo + 1,
+                               o.max_gape + 1, o);
+  int best_diff = max_diff + 1;
+  long long best_cnt = 0;
+  int n_buckets = best_score + 1;
+  GapStack stack(n_buckets);
+  stack.push({0, n, 0, seq_len, 0, 0, 0, ST_M, 0, 0});
+  stack.push({1, n, 0, seq_len, 0, 0, 0, ST_M, 0, 0});
+
+  int n_hits = 0;
+  while (stack.n) {
+    if (stack.n > o.max_entries) break;
+    GapEntry e = stack.pop();
+    if (!nonstop && e.score > best_score + o.s_mm) break;
+
+    int m = max_diff - (e.n_mm + e.n_gapo);
+    if (gape_mode) m -= e.n_gape;
+    if (m < 0) continue;
+    const InterleavedBwt& fm = fms[1 - e.a];
+    const uint8_t* s = seqs[e.a];
+    uint32_t* w_arr = W[e.a];
+    int* bid_arr = BID[e.a];
+    int m_seed = 0;
+    if (has_seed) {
+      m_seed = o.max_seed_diff - (e.n_mm + e.n_gapo);
+      if (gape_mode) m_seed -= e.n_gape;
+    }
+    int i = e.i;
+    uint32_t k = e.k, l = e.l;
+    if (i > 0 && m < bid_arr[i - 1]) continue;
+
+    bool hit_found = false;
+    if (i == 0) {
+      hit_found = true;
+    } else if (m == 0 && (e.state == ST_M || gape_mode
+                          || e.n_gape == o.max_gape)) {
+      // bwt_match_exact_alt over s[0..i-1] (bwt.c:235-250)
+      bool ok = true;
+      for (int t = i - 1; t >= 0; --t) {
+        int c = s[t];
+        if (c > 3) { ok = false; break; }
+        uint32_t okk = occ1(fm, k == 0 ? 0xFFFFFFFFu : k - 1, c);
+        uint32_t oll = occ1(fm, l, c);
+        k = fm.l2[c] + okk + 1;
+        l = fm.l2[c] + oll;
+        if (k > l) { ok = false; break; }
+      }
+      if (ok) hit_found = true;
+      else continue;
+    }
+
+    if (hit_found) {
+      int score = aln_score_c(e.n_mm, e.n_gapo, e.n_gape, o);
+      bool do_add = true;
+      if (n_hits == 0) {
+        best_score = score;
+        best_diff = e.n_mm + e.n_gapo + (gape_mode ? e.n_gape : 0);
+        if (!nonstop && best_diff + 1 < max_diff) max_diff = best_diff + 1;
+        else if (!nonstop) max_diff = max_diff < best_diff + 1
+                                          ? max_diff : best_diff + 1;
+      }
+      if (score == best_score) {
+        best_cnt += (long long)(l - k) + 1;
+      } else if (best_cnt > o.max_top2) {
+        break;
+      }
+      if (e.n_gapo) {
+        for (int t = 0; t < n_hits; ++t)
+          if (out[t * 4 + 1] == k && out[t * 4 + 2] == l) {
+            do_add = false;
+            break;
+          }
+      }
+      if (do_add) {
+        gap_shadow_c((int64_t)(l - k) + 1, seq_len, e.last_diff_pos,
+                     w_arr, bid_arr);
+        if (n_hits >= cap) return -1;
+        out[n_hits * 4 + 0] = (uint32_t)e.n_mm | (uint32_t)e.n_gapo << 8
+                              | (uint32_t)e.n_gape << 16
+                              | (uint32_t)e.a << 24;
+        out[n_hits * 4 + 1] = k;
+        out[n_hits * 4 + 2] = l;
+        out[n_hits * 4 + 3] = (uint32_t)score;
+        ++n_hits;
+      }
+      continue;
+    }
+
+    --i;
+    uint32_t cnt_k[4], cnt_l[4];
+    occ4_at(fm, k == 0 ? 0xFFFFFFFFu : k - 1, cnt_k);
+    occ4_at(fm, l, cnt_l);
+    int64_t occv = (int64_t)(l - k) + 1;
+
+    bool allow_diff = true, allow_m = true;
+    if (i > 0) {
+      int ii = i - (n - seed_len);
+      if (bid_arr[i - 1] > m - 1) allow_diff = false;
+      else if (bid_arr[i - 1] == m - 1 && bid_arr[i] == m - 1
+               && w_arr[i - 1] == w_arr[i]) allow_m = false;
+      if (has_seed && ii > 0) {
+        const int* sbid = SBID[e.a];
+        const uint32_t* sww = SW[e.a];
+        if (sbid[ii - 1] > m_seed - 1) allow_diff = false;
+        else if (sbid[ii - 1] == m_seed - 1 && sbid[ii] == m_seed - 1
+                 && sww[ii - 1] == sww[ii]) allow_m = false;
+      }
+    }
+
+    int tmp = loggap ? int_log2_c(e.n_gape + e.n_gapo) / 2 + 1
+                     : e.n_gapo + e.n_gape;
+    if (allow_diff && i >= o.indel_end_skip + tmp
+        && n - i >= o.indel_end_skip + tmp) {
+      if (e.state == ST_M) {
+        if (e.n_gapo < o.max_gapo) {
+          stack.push({e.a, i, k, l, e.n_mm, e.n_gapo + 1, e.n_gape, ST_I,
+                      i, aln_score_c(e.n_mm, e.n_gapo + 1, e.n_gape, o)});
+          for (int j = 0; j < 4; ++j) {
+            uint32_t kj = fm.l2[j] + cnt_k[j] + 1;
+            uint32_t lj = fm.l2[j] + cnt_l[j];
+            if (kj <= lj)
+              stack.push({e.a, i + 1, kj, lj, e.n_mm, e.n_gapo + 1,
+                          e.n_gape, ST_D, i + 1,
+                          aln_score_c(e.n_mm, e.n_gapo + 1, e.n_gape, o)});
+          }
+        }
+      } else if (e.state == ST_I) {
+        if (e.n_gape < o.max_gape)
+          stack.push({e.a, i, k, l, e.n_mm, e.n_gapo, e.n_gape + 1, ST_I,
+                      i, aln_score_c(e.n_mm, e.n_gapo, e.n_gape + 1, o)});
+      } else if (e.state == ST_D) {
+        if (e.n_gape < o.max_gape
+            && (e.n_gape + e.n_gapo < max_diff || occv < o.max_del_occ)) {
+          for (int j = 0; j < 4; ++j) {
+            uint32_t kj = fm.l2[j] + cnt_k[j] + 1;
+            uint32_t lj = fm.l2[j] + cnt_l[j];
+            if (kj <= lj)
+              stack.push({e.a, i + 1, kj, lj, e.n_mm, e.n_gapo,
+                          e.n_gape + 1, ST_D, i + 1,
+                          aln_score_c(e.n_mm, e.n_gapo, e.n_gape + 1, o)});
+          }
+        }
+      }
+    }
+
+    if (allow_diff && allow_m) {
+      for (int j = 1; j <= 4; ++j) {
+        int c = (s[i] + j) & 3;
+        int is_mm = (j != 4 || s[i] > 3);
+        uint32_t kj = fm.l2[c] + cnt_k[c] + 1;
+        uint32_t lj = fm.l2[c] + cnt_l[c];
+        if (kj <= lj)
+          stack.push({e.a, i, kj, lj, e.n_mm + is_mm, e.n_gapo, e.n_gape,
+                      ST_M, is_mm ? i : e.last_diff_pos,
+                      aln_score_c(e.n_mm + is_mm, e.n_gapo, e.n_gape, o)});
+      }
+    } else if (s[i] < 4) {
+      int c = s[i] & 3;
+      uint32_t kj = fm.l2[c] + cnt_k[c] + 1;
+      uint32_t lj = fm.l2[c] + cnt_l[c];
+      if (kj <= lj)
+        stack.push({e.a, i, kj, lj, e.n_mm, e.n_gapo, e.n_gape, ST_M,
+                    e.last_diff_pos, e.score});
+    }
+  }
+  return n_hits;
+}
+
+// Batch driver with optional OpenMP parallelism over reads.
+void ibwa_match_gap_batch(const uint32_t* itl_fwd, uint32_t primary_fwd,
+                          const uint32_t* itl_rev, uint32_t primary_rev,
+                          const uint32_t* l2, uint32_t seq_len,
+                          const uint8_t* seqs, const uint8_t* rseqs,
+                          const int64_t* offsets, const int32_t* lens,
+                          const int32_t* max_diffs,
+                          const int32_t* seed_lens, const int32_t* optv,
+                          int32_t n_reads, uint32_t* out, int32_t cap,
+                          int32_t* out_n) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int32_t r = 0; r < n_reads; ++r) {
+    out_n[r] = ibwa_match_gap(
+        itl_fwd, primary_fwd, itl_rev, primary_rev, l2, seq_len,
+        seqs + offsets[r], rseqs + offsets[r], lens[r], max_diffs[r],
+        seed_lens[r], optv, out + (int64_t)r * cap * 4, cap);
+  }
+}
+
+}  // extern "C"

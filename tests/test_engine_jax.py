@@ -73,11 +73,14 @@ CASES = {
 
 
 @pytest.mark.parametrize("case", list(CASES))
-def test_device_engine_parity(small_index, case):
+def test_device_engine_parity(small_index, case, monkeypatch):
     fms, seq = small_index
     opt = CASES[case]
     seqs, rseqs = _make_reads(seq)
     ref = engine_ref.align_batch(fms, seqs, rseqs, opt)
+    # disable the heavy-tail step cap: this test asserts the pure-device
+    # path (capacity fallbacks only) matches the oracle on its own
+    monkeypatch.setattr(engine_jax, "ITER_CAP", 1 << 30)
     eng = engine_jax.JaxAlnEngine(fms)
     got = eng.align_batch(seqs, rseqs, opt)
     assert len(got) == len(ref)
