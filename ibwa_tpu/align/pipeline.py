@@ -32,7 +32,8 @@ def aln_to_stream(prefix: str, fq_path: str, opt: GapOpt, out: BinaryIO,
     fm_rev = FmIndex(load_index(prefix, 1))
     fms = (fm_fwd, fm_rev)
 
-    reads = load_reads(fq_path, trim_qual=opt.trim_qual)
+    reads = load_reads(fq_path, trim_qual=opt.trim_qual,
+                       is_comp=bool(opt.mode & 0x02))
     sai.write_header(out, opt)
     total = 0
     for start in range(0, len(reads), BATCH_SIZE):

@@ -14,9 +14,14 @@ def cmd_index(argv: list[str]) -> int:
     ap.add_argument("fasta", help="input FASTA")
     ap.add_argument("-p", "--prefix", default=None,
                     help="index prefix [fasta path]")
+    ap.add_argument("-c", action="store_true",
+                    help="build for color-space (SOLiD) reads")
+    ap.add_argument("-a", default="is", choices=["is", "bwtsw", "div"],
+                    help="construction algorithm (all via SA-IS; the "
+                         "BWT is unique so artifacts are identical)")
     args = ap.parse_args(argv)
     from .index.builder import bwa_index
-    bwa_index(args.fasta, args.prefix)
+    bwa_index(args.fasta, args.prefix, color=args.c)
     return 0
 
 
@@ -39,6 +44,7 @@ def cmd_aln(argv: list[str]) -> int:
     ap.add_argument("-R", type=int, default=None, help="max equally-best")
     ap.add_argument("-q", type=int, default=None, help="trim quality")
     ap.add_argument("-N", action="store_true", help="non-iterative mode")
+    ap.add_argument("-c", action="store_true", help="color-space reads")
     ap.add_argument("-f", default=None, help="output file [stdout]")
     ap.add_argument("--engine", default="jax", choices=["jax", "native", "ref"])
     args = ap.parse_args(argv)
@@ -66,6 +72,8 @@ def cmd_aln(argv: list[str]) -> int:
     if args.N:
         opt.mode |= BWA_MODE_NONSTOP
         opt.max_top2 = 0x7FFFFFFF
+    if args.c:
+        opt.mode &= ~0x02  # clear BWA_MODE_COMPREAD (bwtaln.c:262)
     out = open(args.f, "wb") if args.f else sys.stdout.buffer
     try:
         aln_to_stream(args.prefix, args.fastq, opt, out, engine=args.engine)
@@ -231,7 +239,7 @@ def cmd_bwasw(argv: list[str]) -> int:
 
 
 def _cmds():
-    from .index.builder import pac2bwt, pac_rev
+    from .index.builder import pac2bwt, pac_rev, pac2cspac
     return {
         "index": cmd_index,
         "aln": cmd_aln,
@@ -243,6 +251,7 @@ def _cmds():
         "bwtupdate": cmd_bwtupdate,
         "pac_rev": _two_arg(pac_rev),
         "bwt2sa": cmd_bwt2sa,
+        "pac2cspac": _two_arg(pac2cspac),
         "bwasw": cmd_bwasw,
     }
 

@@ -104,11 +104,40 @@ def build_bwt_index(codes: np.ndarray, sa_intv: int = formats.SA_INTERVAL
     return idx
 
 
-def bwa_index(fa_path: str, prefix: str | None = None) -> None:
-    """Equivalent of `ibwa index -a is <fa>` producing all artifacts."""
+NST_COLOR_SPACE_TABLE = [4, 0, 0, 1, 0, 2, 3, 4, 0, 3, 2, 4, 1, 4, 4, 4]
+
+
+def pac2cspac(nt_prefix: str, cs_prefix: str) -> None:
+    """`ibwa pac2cspac` (bwtmisc.c:202-246): nucleotide pac -> color pac
+    (color of each adjacent base pair; slot 0 keeps the first base)."""
+    codes = formats.read_pac(nt_prefix + ".pac")
+    cs = np.empty_like(codes)
+    cs[0] = codes[0]
+    tbl = np.array(NST_COLOR_SPACE_TABLE, dtype=np.uint8)
+    if len(codes) > 1:
+        cs[1:] = tbl[(1 << codes[:-1].astype(np.int32))
+                     | (1 << codes[1:].astype(np.int32))]
+    bns = formats.read_ann(nt_prefix + ".ann")
+    formats.read_amb(nt_prefix + ".amb", bns)
+    formats.write_ann(cs_prefix + ".ann", bns)
+    formats.write_amb(cs_prefix + ".amb", bns)
+    formats.write_pac(cs_prefix + ".pac", cs)
+
+
+def bwa_index(fa_path: str, prefix: str | None = None,
+              color: bool = False) -> None:
+    """Equivalent of `ibwa index [-c] -a is <fa>`.
+
+    Color mode (bwtindex.c:85-101): nucleotide artifacts land under
+    <prefix>.nt.*, the searched index is built over the color-space pac."""
     if prefix is None:
         prefix = fa_path
-    bns, codes = fasta_to_bnt(fa_path, prefix)
+    if color:
+        fasta_to_bnt(fa_path, prefix + ".nt")
+        pac2cspac(prefix + ".nt", prefix)
+        codes = formats.read_pac(prefix + ".pac")
+    else:
+        bns, codes = fasta_to_bnt(fa_path, prefix)
     formats.write_rpac(prefix + ".rpac", codes)
 
     fwd = build_bwt_index(codes)

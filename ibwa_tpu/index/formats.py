@@ -34,6 +34,8 @@ NT4_TABLE = np.full(256, 4, dtype=np.uint8)
 for _i, _b in enumerate(b"ACGT"):
     NT4_TABLE[_b] = _i
     NT4_TABLE[ord(chr(_b).lower())] = _i
+for _i, _b in enumerate(b"0123"):   # color-space digits (bntseq.c:42)
+    NT4_TABLE[_b] = _i
 NT4_TABLE[ord("-")] = 5
 
 

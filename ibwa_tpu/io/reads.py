@@ -52,8 +52,10 @@ def trim_len(qual: bytes, full_len: int, trim_qual: int) -> int:
     return max_l + 1
 
 
-def load_reads(path: str, trim_qual: int = 0, is_64: bool = False
-               ) -> list[Read]:
+def load_reads(path: str, trim_qual: int = 0, is_64: bool = False,
+               is_comp: bool = True) -> list[Read]:
+    # is_comp=False (color space): rseq is the plain reverse
+    # (bwaseqio.c:192 with BWA_MODE_COMPREAD cleared)
     reads = []
     for rec in read_fastx(path):
         raw = np.frombuffer(rec.seq.encode("latin-1"), dtype=np.uint8)
@@ -71,10 +73,11 @@ def load_reads(path: str, trim_qual: int = 0, is_64: bool = False
         name = rec.name
         if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
             name = name[:-2]
+        rs = _complement(kept) if is_comp else kept
         reads.append(Read(
             name=name,
             seq=kept[::-1].copy(),
-            rseq=_complement(kept)[::-1].copy(),
+            rseq=rs[::-1].copy(),
             qual=qual,
             full_len=full_len,
             clip_len=clip,

@@ -96,6 +96,9 @@ class AlnSeq:
     len: int = 0
     seq_fwd: np.ndarray | None = None  # forward-oriented clipped codes
     qual_out: bytes | None = None
+    conv: np.ndarray | None = None     # color mode: decoded nt read
+    conv_qual: bytes | None = None     # color mode: recomputed quals
+    rseq_conv: np.ndarray | None = None
 
     def __post_init__(self):
         self.len = self.read.clip_len
@@ -208,7 +211,8 @@ def cal_pac_pos(dbs: DbSet, seqs: list[AlnSeq], max_mm: int,
 
 def refine_gapped_core(dbs: DbSet, dbidx: int, seqid: int, length: int,
                        seq: np.ndarray, pos: int, ext: int,
-                       is_end_correct: int) -> tuple[list[int], int]:
+                       is_end_correct: int, nt: bool = False
+                       ) -> tuple[list[int], int]:
     """refine_gapped_core (bwase.c:167-241): re-extract the reference
     around the hit, run banded global DP, post-fix the CIGAR.  Returns
     (cigar, new_pos)."""
@@ -221,7 +225,10 @@ def refine_gapped_core(dbs: DbSet, dbidx: int, seqid: int, length: int,
         x = pos + (length if is_end_correct else ref_len)
         ref_start = x - ref_len if x - ref_len > 0 else 0
         ref_len = x - ref_start
-    ref_seq = dbs.extract_remapped(dbidx, seqid, ref_start, ref_len)
+    if nt:  # color space second pass extracts the nucleotide pac
+        ref_seq = dbs.extract_sequence(ref_start, ref_len, nt=True)
+    else:
+        ref_seq = dbs.extract_remapped(dbidx, seqid, ref_start, ref_len)
     cigar, _score = native.global_aln(ref_seq, seq[:length])
 
     if ext < 0 and is_end_correct:  # fix fwd-strand coordinate
@@ -245,7 +252,7 @@ def refine_gapped_core(dbs: DbSet, dbidx: int, seqid: int, length: int,
         cigar[0] = cigar_create(3, cigar_len(cigar[0]))
 
     db = dbs.dbs[dbidx]
-    if db.remap is not None and seqid in db.remap \
+    if not nt and db.remap is not None and seqid in db.remap \
             and db.remap[seqid].cigar:
         from . import remap as remap_mod
         start = pos - db.offset - db.bns.anns[seqid].offset
@@ -255,7 +262,8 @@ def refine_gapped_core(dbs: DbSet, dbidx: int, seqid: int, length: int,
 
 
 def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
-            seq: np.ndarray, dbs: DbSet) -> tuple[str, int]:
+            seq: np.ndarray, dbs: DbSet, nt: bool = False
+            ) -> tuple[str, int]:
     """bwa_cal_md1 (bwase.c:243-295): MD tag + NM count."""
     out = []
     nm = 0
@@ -267,7 +275,7 @@ def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
             if op == FROM_M:
                 span = min(ln, max(dbs.l_pac - x, 0))
                 if span > 0:
-                    ref = dbs.extract_sequence(x, span)
+                    ref = dbs.extract_sequence(x, span, nt=nt)
                     for z in range(len(ref)):
                         cb = int(ref[z])
                         if cb > 3 or int(seq[y + z]) > 3 or cb != seq[y + z]:
@@ -288,14 +296,14 @@ def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
                 out.append("^")
                 span = min(ln, max(dbs.l_pac - x, 0))
                 if span > 0:
-                    ref = dbs.extract_sequence(x, span)
+                    ref = dbs.extract_sequence(x, span, nt=nt)
                     out.extend("ACGT"[int(cb)] for cb in ref)
                 u = 0
                 x += ln
                 nm += ln
     else:
         span = min(length, max(dbs.l_pac - x, 0))
-        ref = dbs.extract_sequence(x, span) if span > 0 else []
+        ref = dbs.extract_sequence(x, span, nt=nt) if span > 0 else []
         for z in range(len(ref)):
             cb = int(ref[z])
             if cb > 3 or int(seq[z]) > 3 or cb != seq[z]:
@@ -357,16 +365,36 @@ def refine_gapped(dbs: DbSet, seqs: list[AlnSeq]) -> None:
             dbs, s.dbidx, s.remapped_seqid, s.len, sseq, s.pos,
             (1 if s.strand else -1) * (s.n_gapo + s.n_gape), 1)
 
+    if dbs.color_space:  # bwase.c:367-388: decode + re-refine vs ntpac
+        from . import cs2nt
+        for s in seqs:
+            cs2nt.bwa_cs2nt_core(s, dbs)
+            for q in s.multi:
+                if q.gap == 0:
+                    continue
+                q.cigar, q.pos = refine_gapped_core(
+                    dbs, q.dbidx, s.remapped_seqid, s.len, s.seq_fwd,
+                    q.pos, (1 if q.strand else -1) * q.gap, 0, nt=True)
+            if s.type != TYPE_NO_MATCH and s.cigar:
+                s.cigar, s.pos = refine_gapped_core(
+                    dbs, s.dbidx, s.remapped_seqid, s.len, s.seq_fwd,
+                    s.pos, (1 if s.strand else -1) * (s.n_gapo + s.n_gape),
+                    0, nt=True)
+
     for s in seqs:
         if s.type != TYPE_NO_MATCH:
             # reference quirk: MD/NM computed at remapped_pos (bwase.c:367)
-            sseq = s.read.rseq if s.strand else s.seq_fwd
+            if s.conv is not None:
+                sseq = s.seq_fwd
+            else:
+                sseq = s.read.rseq if s.strand else s.seq_fwd
             n_cigar = len(s.cigar) if s.cigar else 0
             s.md, s.nm = cal_md1(n_cigar, s.cigar, s.len, s.remapped_pos,
-                                 sseq, dbs)
+                                 sseq, dbs, nt=dbs.color_space)
 
-    for s in seqs:
-        correct_trimmed(s)
+    if not dbs.color_space:  # trimming is Illumina-only (bwase.c:441)
+        for s in seqs:
+            correct_trimmed(s)
 
 
 def pos_end(s: AlnSeq) -> int:
@@ -459,20 +487,26 @@ def print_sam1(dbs: DbSet, p: AlnSeq, mate: AlnSeq | None, mode: int,
             out.write("\t*\t0\t0\t")
 
         # sequence + quality (original read orientation rules)
-        orig = r.orig
-        if p.strand == 0:
-            out.write("".join("ACGTN"[b] for b in orig))
+        if p.conv is not None:  # color mode: decoded nucleotide read
+            out.write("".join("ACGTN"[b] for b in p.conv))
+            out.write("\t")
+            out.write(p.conv_qual.decode("latin-1") if p.conv_qual
+                      else "*")
         else:
-            out.write("".join("TGCAN"[orig[r.full_len - 1 - jj]]
-                              for jj in range(r.full_len)))
-        out.write("\t")
-        if r.qual is not None:
-            q = r.qual
-            if p.strand:
-                q = q[:p.len][::-1] + q[p.len:]
-            out.write(q.decode("latin-1"))
-        else:
-            out.write("*")
+            orig = r.orig
+            if p.strand == 0:
+                out.write("".join("ACGTN"[b] for b in orig))
+            else:
+                out.write("".join("TGCAN"[orig[r.full_len - 1 - jj]]
+                                  for jj in range(r.full_len)))
+            out.write("\t")
+            if r.qual is not None:
+                q = r.qual
+                if p.strand:
+                    q = q[:p.len][::-1] + q[p.len:]
+                out.write(q.decode("latin-1"))
+            else:
+                out.write("*")
 
         if rg_id:
             out.write(f"\tRG:Z:{rg_id}")
@@ -567,11 +601,13 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
     """bwa_sai2sam_se_core (bwase.c:643-708)."""
     with open(sai_path, "rb") as fp:
         opt = sai.read_header(fp)
-        dbs = DbSet([prefix])
+        color = not (opt.mode & BWA_MODE_COMPREAD)
+        dbs = DbSet([prefix], color_space=color)
         rng = Rand48(dbs.dbs[0].bns.seed)
         out.write(dbs.sam_SQ(rg_line))
         print_sam_PG(out)
-        reads = load_reads(fq_path, trim_qual=opt.trim_qual)
+        reads = load_reads(fq_path, trim_qual=opt.trim_qual,
+                           is_comp=not color)
         for start in range(0, len(reads), BATCH):
             batch = reads[start:start + BATCH]
             seqs = []

@@ -30,6 +30,13 @@ class BwtDb:
     pac: np.ndarray | None = None    # unpacked 2-bit codes, lazy
     remap: dict | None = None        # seqid -> remap record (iBWA layer)
     target_idx_cache: dict = dataclasses.field(default_factory=dict)
+    ntbns: Bns | None = None         # color space: nucleotide bns
+    ntpac: np.ndarray | None = None  # color space: nucleotide pac, lazy
+
+    def load_ntpac(self) -> np.ndarray:
+        if self.ntpac is None:
+            self.ntpac = formats.read_pac(self.prefix + ".nt.pac")
+        return self.ntpac
 
     def load_fm(self, strand: int) -> FmIndex:
         if self.fm[strand] is None:
@@ -66,18 +73,22 @@ class BwtDb:
 class DbSet:
     """dbset_t: the ordered collection of references (dbset.c:135-238)."""
 
-    def __init__(self, prefixes: list[str]):
+    def __init__(self, prefixes: list[str], color_space: bool = False):
         self.dbs: list[BwtDb] = []
         offset = 0
         for p in prefixes:
             bns = formats.read_ann(p + ".ann")
             formats.read_amb(p + ".amb", bns)
-            self.dbs.append(BwtDb(prefix=p, bns=bns, offset=offset,
-                                  fm=[None, None]))
+            db = BwtDb(prefix=p, bns=bns, offset=offset, fm=[None, None])
+            if color_space:  # dbset.c:161-164
+                ntbns = formats.read_ann(p + ".nt.ann")
+                formats.read_amb(p + ".nt.amb", ntbns)
+                db.ntbns = ntbns
+            self.dbs.append(db)
             offset += bns.l_pac
         self.l_pac = offset
         self._offsets = [db.offset for db in self.dbs]
-        self.color_space = False
+        self.color_space = color_space
 
     @property
     def count(self) -> int:
@@ -131,9 +142,11 @@ class DbSet:
                 break
         return nn, seqid, bns, db.offset
 
-    def extract_sequence(self, beg: int, length: int) -> np.ndarray:
+    def extract_sequence(self, beg: int, length: int,
+                         nt: bool = False) -> np.ndarray:
         """dbset_extract_sequence (dbset.c:306-325): 2-bit codes for
-        [beg, beg+length) of the global space, truncated at l_pac."""
+        [beg, beg+length) of the global space, truncated at l_pac.
+        nt=True reads the nucleotide pac (color-space mode)."""
         out = np.empty(length, dtype=np.uint8)
         total = 0
         while total < length:
@@ -141,7 +154,7 @@ class DbSet:
                 break
             idx = self.coord2idx(beg)
             db = self.dbs[idx]
-            pac = db.load_pac()
+            pac = db.load_ntpac() if nt else db.load_pac()
             pos = beg - db.offset
             take = min(length - total, len(pac) - pos)
             out[total:total + take] = pac[pos:pos + take]

@@ -778,7 +778,8 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
             opts[which] = sai.read_header(fps[which][i])
     gopt0, gopt = opts[0], opts[1]
 
-    dbs = DbSet(prefixes)
+    color = not (gopt.mode & 0x02)  # dbset.c:144
+    dbs = DbSet(prefixes, color_space=color)
     if popt.remapping:
         for db in dbs.dbs:
             from . import remap as remap_mod
@@ -787,8 +788,10 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     out.write(dbs.sam_SQ(rg_line))
     print_sam_PG(out)
 
-    reads = [load_reads(fq1, trim_qual=gopt0.trim_qual),
-             load_reads(fq2, trim_qual=gopt.trim_qual)]
+    reads = [load_reads(fq1, trim_qual=gopt0.trim_qual,
+                        is_comp=bool(gopt0.mode & 0x02)),
+             load_reads(fq2, trim_qual=gopt.trim_qual,
+                        is_comp=bool(gopt.mode & 0x02))]
     last_ii = IsizeInfo()
     tot = 0
     for start in range(0, len(reads[0]), BATCH):
