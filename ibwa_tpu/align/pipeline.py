@@ -32,8 +32,24 @@ def aln_to_stream(prefix: str, fq_path: str, opt: GapOpt, out: BinaryIO,
     fm_rev = FmIndex(load_index(prefix, 1))
     fms = (fm_fwd, fm_rev)
 
-    reads = load_reads(fq_path, trim_qual=opt.trim_qual,
-                       is_comp=bool(opt.mode & 0x02))
+    if opt.mode & 0x20:  # BWA_MODE_BAM (bwtaln.c:162-168)
+        from ..io.bam import load_reads_bam
+        which = 0
+        if opt.mode & 0x40:
+            which |= 4
+        if opt.mode & 0x80:
+            which |= 1
+        if opt.mode & 0x100:
+            which |= 2
+        if which == 0:
+            which = 7
+        reads = load_reads_bam(fq_path, which, trim_qual=opt.trim_qual,
+                               is_comp=bool(opt.mode & 0x02))
+    else:
+        reads = load_reads(fq_path, trim_qual=opt.trim_qual,
+                           is_comp=bool(opt.mode & 0x02),
+                           is_64=bool(opt.mode & 0x200),
+                           l_bc=opt.mode >> 24)
     sai.write_header(out, opt)
     total = 0
     for start in range(0, len(reads), BATCH_SIZE):

@@ -45,6 +45,16 @@ def cmd_aln(argv: list[str]) -> int:
     ap.add_argument("-q", type=int, default=None, help="trim quality")
     ap.add_argument("-N", action="store_true", help="non-iterative mode")
     ap.add_argument("-c", action="store_true", help="color-space reads")
+    ap.add_argument("-b", action="store_true", help="BAM input")
+    ap.add_argument("-B", type=int, default=0, help="barcode length")
+    ap.add_argument("-I", action="store_true",
+                    help="input is Illumina 1.3+ quality (64-based)")
+    ap.add_argument("-0", dest="b0", action="store_true",
+                    help="BAM: use single-end reads only")
+    ap.add_argument("-1", dest="b1", action="store_true",
+                    help="BAM: use read1 only")
+    ap.add_argument("-2", dest="b2", action="store_true",
+                    help="BAM: use read2 only")
     ap.add_argument("-f", default=None, help="output file [stdout]")
     ap.add_argument("--engine", default="jax", choices=["jax", "native", "ref"])
     args = ap.parse_args(argv)
@@ -74,6 +84,18 @@ def cmd_aln(argv: list[str]) -> int:
         opt.max_top2 = 0x7FFFFFFF
     if args.c:
         opt.mode &= ~0x02  # clear BWA_MODE_COMPREAD (bwtaln.c:262)
+    if args.b:
+        opt.mode |= 0x20
+    if args.b0:
+        opt.mode |= 0x40
+    if args.b1:
+        opt.mode |= 0x80
+    if args.b2:
+        opt.mode |= 0x100
+    if args.I:
+        opt.mode |= 0x200
+    if args.B:
+        opt.mode |= args.B << 24
     out = open(args.f, "wb") if args.f else sys.stdout.buffer
     try:
         aln_to_stream(args.prefix, args.fastq, opt, out, engine=args.engine)
@@ -238,6 +260,43 @@ def cmd_bwasw(argv: list[str]) -> int:
     return 0
 
 
+def cmd_stdsw(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="ibwa-tpu stdsw")
+    ap.add_argument("long_fa")
+    ap.add_argument("short_fa")
+    ap.add_argument("-T", type=int, default=1, help="minimum score")
+    ap.add_argument("-g", action="store_true", help="global alignment")
+    ap.add_argument("-f", action="store_true", help="forward strand only")
+    ap.add_argument("-r", action="store_true", help="reverse strand only")
+    args = ap.parse_args(argv)
+    strand = (1 if args.f else 0) | (2 if args.r else 0)
+    if strand == 0:
+        strand = 3
+    from .tools.stdsw import stdsw
+    stdsw(args.long_fa, args.short_fa, thres=args.T,
+          is_global=args.g, strand=strand)
+    return 0
+
+
+def cmd_qualfa2fq(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("usage: qualfa2fq <in.fasta> <in.qual>", file=sys.stderr)
+        return 1
+    from .tools.convert import qualfa2fq
+    qualfa2fq(argv[0], argv[1])
+    return 0
+
+
+def cmd_solid2fastq(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("usage: solid2fastq <in.prefix> <out.prefix>",
+              file=sys.stderr)
+        return 1
+    from .tools.convert import solid2fastq
+    solid2fastq(argv[0], argv[1])
+    return 0
+
+
 def _cmds():
     from .index.builder import pac2bwt, pac_rev, pac2cspac
     return {
@@ -252,6 +311,9 @@ def _cmds():
         "pac_rev": _two_arg(pac_rev),
         "bwt2sa": cmd_bwt2sa,
         "pac2cspac": _two_arg(pac2cspac),
+        "stdsw": cmd_stdsw,
+        "qualfa2fq": cmd_qualfa2fq,
+        "solid2fastq": cmd_solid2fastq,
         "bwasw": cmd_bwasw,
     }
 

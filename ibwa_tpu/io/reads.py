@@ -52,17 +52,37 @@ def trim_len(qual: bytes, full_len: int, trim_qual: int) -> int:
     return max_l + 1
 
 
+BARCODE_LOW_QUAL = 13
+
+
 def load_reads(path: str, trim_qual: int = 0, is_64: bool = False,
-               is_comp: bool = True) -> list[Read]:
+               is_comp: bool = True, l_bc: int = 0) -> list[Read]:
     # is_comp=False (color space): rseq is the plain reverse
-    # (bwaseqio.c:192 with BWA_MODE_COMPREAD cleared)
+    # (bwaseqio.c:192 with BWA_MODE_COMPREAD cleared); l_bc strips a
+    # leading barcode (bwaseqio.c:163-177)
+    if l_bc > 15:
+        raise ValueError("the maximum barcode length is 15")
     reads = []
     for rec in read_fastx(path):
-        raw = np.frombuffer(rec.seq.encode("latin-1"), dtype=np.uint8)
+        if len(rec.seq) <= l_bc:
+            continue
+        bc = ""
+        seq_str, qual_str = rec.seq, rec.qual
+        if l_bc:
+            bc = "".join(
+                c.lower() if (qual_str
+                              and ord(qual_str[i]) - (64 if is_64 else 33)
+                              < BARCODE_LOW_QUAL)
+                else c.upper()
+                for i, c in enumerate(seq_str[:l_bc]))
+            seq_str = seq_str[l_bc:]
+            if qual_str:
+                qual_str = qual_str[l_bc:]
+        raw = np.frombuffer(seq_str.encode("latin-1"), dtype=np.uint8)
         codes = NT4_TABLE[raw].copy()
         qual = None
-        if rec.qual:
-            qual = rec.qual.encode("latin-1")
+        if qual_str:
+            qual = qual_str.encode("latin-1")
             if is_64:
                 qual = bytes(q - 31 for q in qual)
         full_len = len(codes)
@@ -82,5 +102,6 @@ def load_reads(path: str, trim_qual: int = 0, is_64: bool = False,
             full_len=full_len,
             clip_len=clip,
             orig=codes,
+            bc=bc,
         ))
     return reads

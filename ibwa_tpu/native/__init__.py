@@ -190,14 +190,14 @@ def local_aln(ref: np.ndarray, read: np.ndarray, thres: int = 1,
               row: int = 5) -> tuple[list[int], int, int, int, int, int]:
     """Banded local SW (aln_local_core semantics, path fill included).
 
-    Returns (cigar, score, first_i, first_j, end_i, end_j); empty cigar
-    means no acceptable local alignment."""
+    Returns (cigar, score, first_i, first_j, end_i, end_j, subo); empty
+    cigar means no acceptable local alignment."""
     lib = load()
     ref = np.ascontiguousarray(ref, dtype=np.uint8)
     read = np.ascontiguousarray(read, dtype=np.uint8)
     cap = len(ref) + len(read) + 2
     out = np.empty(cap, dtype=np.uint32)
-    meta = np.zeros(5, dtype=np.int32)
+    meta = np.zeros(6, dtype=np.int32)
     n = lib.ibwa_local_aln(
         ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref),
         read.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(read),
@@ -208,7 +208,7 @@ def local_aln(ref: np.ndarray, read: np.ndarray, thres: int = 1,
     if n < 0:
         raise RuntimeError("ibwa_local_aln: cigar buffer overflow")
     return ([int(x) for x in out[:n]], int(meta[0]), int(meta[1]),
-            int(meta[2]), int(meta[3]), int(meta[4]))
+            int(meta[2]), int(meta[3]), int(meta[4]), int(meta[5]))
 
 
 def extend_aln(ref: np.ndarray, read: np.ndarray, gap_open: int,

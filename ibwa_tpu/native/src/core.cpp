@@ -562,8 +562,11 @@ int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
                        int32_t band, const int32_t* matrix, int32_t row,
                        int32_t thres, uint32_t* out_cigar, int32_t out_cap,
                        int32_t* out_meta) {
+  // out_meta: [score, first_i, first_j, end_i, end_j, subo]
   out_meta[0] = -1;
+  out_meta[5] = 0;
   if (len1 == 0 || len2 == 0) return 0;
+  std::vector<int> suba(len2 + 1, 0);
   const int q = gap_open, r = gap_ext, qr = q + r;
   const int64_t qr_shift = (int64_t)(qr + 1) << 16;
 
@@ -583,7 +586,7 @@ int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
 
   // forward pass
   for (int j = 1; j <= len2; ++j) {
-    int last_h = 0, f = 0;
+    int last_h = 0, f = 0, subo_row = 0;
     const int* sa = &prof[seq2[j - 1] * (len1 + 1)];
     if (is_overflow) {
       score_f -= kOverflowReduce;
@@ -613,12 +616,14 @@ int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
         eh[i - 1] = last_h << 16;
       }
       last_h = curr_h;
+      if (subo_row < curr_h) subo_row = curr_h;
       if (score_f < curr_h) {
         score_f = curr_h; end_i = i; end_j = j;
         if (score_f > kOverflowThreshold) is_overflow = 1;
       }
     }
     eh[len1] = last_h << 16;
+    suba[j] = subo_row + of_base;
   }
   score_f += of_base;
   out_meta[0] = score_f;
@@ -702,6 +707,17 @@ int32_t ibwa_local_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
     out_meta[0] = -1;  // reference warns "Potential bug" and flags -1
   } else {
     out_meta[0] = score_g;
+  }
+
+  { // suboptimal score outside +-33% of the hit span (stdaln.c:700-708)
+    int tmp2 = 0;
+    int tmp = (int)(start_j - 0.33 * (end_j - start_j) + 0.499);
+    for (int j2 = 1; j2 <= tmp; ++j2)
+      if (tmp2 < suba[j2]) tmp2 = suba[j2];
+    tmp = (int)(end_j + 0.33 * (end_j - start_j) + 0.499);
+    for (int j2 = tmp; j2 <= len2; ++j2)
+      if (j2 >= 1 && tmp2 < suba[j2]) tmp2 = suba[j2];
+    out_meta[5] = tmp2;
   }
 
   // first path cell (reference path[path_len-1] after coordinate shift)

@@ -607,7 +607,9 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
         out.write(dbs.sam_SQ(rg_line))
         print_sam_PG(out)
         reads = load_reads(fq_path, trim_qual=opt.trim_qual,
-                           is_comp=not color)
+                           is_comp=not color,
+                           is_64=bool(opt.mode & 0x200),
+                           l_bc=opt.mode >> 24)
         for start in range(0, len(reads), BATCH):
             batch = reads[start:start + BATCH]
             seqs = []

@@ -600,7 +600,7 @@ def bwa_sw_core(dbs: DbSet, length: int, seq: np.ndarray, beg: int,
     if x / length >= 0.25 or length - x < SW_MIN_MATCH_LEN:
         return None, beg, 0
     ref_seq = dbs.extract_sequence(beg, reglen)
-    cigar, score, fi, fj, end_i, end_j = native.local_aln(
+    cigar, score, fi, fj, end_i, end_j, _subo = native.local_aln(
         ref_seq, seq[:length], thres=1)
     if score < 0 or not cigar:
         return None, beg, 0
@@ -789,9 +789,13 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     print_sam_PG(out)
 
     reads = [load_reads(fq1, trim_qual=gopt0.trim_qual,
-                        is_comp=bool(gopt0.mode & 0x02)),
+                        is_comp=bool(gopt0.mode & 0x02),
+                        is_64=bool(gopt0.mode & 0x200),
+                        l_bc=gopt0.mode >> 24),
              load_reads(fq2, trim_qual=gopt.trim_qual,
-                        is_comp=bool(gopt.mode & 0x02))]
+                        is_comp=bool(gopt.mode & 0x02),
+                        is_64=bool(gopt.mode & 0x200),
+                        l_bc=gopt.mode >> 24)]
     last_ii = IsizeInfo()
     tot = 0
     for start in range(0, len(reads[0]), BATCH):
