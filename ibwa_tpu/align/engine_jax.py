@@ -44,6 +44,7 @@ import numpy as np
 
 from ..fm.device import DeviceFmPair, occ1, occ4
 from ..fm.fmindex import FmIndex
+from . import stack_kernel
 from .opts import (BWA_MODE_GAPE, BWA_MODE_LOGGAP, BWA_MODE_NONSTOP, GapOpt,
                    aln_score, cal_maxdiff)
 from . import engine_ref
@@ -80,6 +81,7 @@ class EngineConfig:
     max_entries: int
     max_seed_diff: int
     iter_cap: int     # per-read device step budget (tail -> host search)
+    pallas_stack: bool  # fused Pallas stack-update kernel (TPU only)
     gape_mode: bool   # BWA_MODE_GAPE
     nonstop: bool     # BWA_MODE_NONSTOP
     loggap: bool      # BWA_MODE_LOGGAP
@@ -165,7 +167,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     interleaved block table, and keep reductions off tiny trailing axes.
     """
     (rid, lens, has_seed, lane_it,
-     sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+     sk, sl_, sm1, sm2, key, seqc, stack_n,
      w, bid, sw, sbid,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
@@ -193,11 +195,6 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     m1 = sm1[rows, slot0]
     m2 = sm2[rows, slot0]
     e_score = key[rows, slot0] >> 20
-    rows_act = jnp.where(act, rows, B)
-    key = key.at[rows_act, slot0].set(INT32_MAX, mode="drop")
-    freelist = freelist.at[rows_act, jnp.minimum(ftop, ACAP - 1)].set(
-        slot0, mode="drop")
-    ftop = ftop + act.astype(I32)
     stack_n = stack_n - act.astype(I32)
     e_state = (m1 & 3).astype(I32)
     e_a = ((m1 >> 2) & 1).astype(I32)
@@ -442,26 +439,22 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     cv = jnp.stack(c_valid, axis=1) & act[:, None]
     cs = jnp.cumsum(cv.astype(I32), axis=1)
     ofs = cs - cv.astype(I32)                            # exclusive rank
-    total = cs[:, -1]
-    ovf = cv & ((ofs >= ftop[:, None]) | (seqc[:, None] + ofs >= MAX_SEQ))
-    fb = fb | ovf.any(axis=1)
-    cv = cv & ~ovf
-    slots = jnp.take_along_axis(
-        freelist, jnp.clip(ftop[:, None] - 1 - ofs, 0, ACAP - 1), axis=1)
-    rows2 = jnp.where(cv, rows[:, None], B)
-    sk = sk.at[rows2, slots].set(ck_, mode="drop")
-    sl_ = sl_.at[rows2, slots].set(cl_, mode="drop")
-    sm1 = sm1.at[rows2, slots].set(cm1, mode="drop")
-    sm2 = sm2.at[rows2, slots].set(cm2, mode="drop")
+    seq_ovf = cv & (seqc[:, None] + ofs >= MAX_SEQ)
+    fb = fb | seq_ovf.any(axis=1)
+    cv = cv & ~seq_ovf
     kv = (sc << 20) | (MAX_SEQ - (seqc[:, None] + ofs))
-    key = key.at[rows2, slots].set(kv, mode="drop")
-    ftop = ftop - total
-    seqc = seqc + total
-    stack_n = stack_n + total
+    upd = (stack_kernel.stack_update if cfg.pallas_stack
+           else stack_kernel.stack_update_xla)
+    key, sk, sl_, sm1, sm2, ovf, npush = upd(
+        slot0, act, cv, ofs, kv, ck_, cl_, cm1, cm2,
+        key, sk, sl_, sm1, sm2, acap=ACAP)
+    fb = fb | ovf
+    seqc = seqc + npush
+    stack_n = stack_n + npush
 
     it = it + 1
     return (rid, lens, has_seed, lane_it,
-            sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+            sk, sl_, sm1, sm2, key, seqc, stack_n,
             w, bid, sw, sbid,
             hk, hl, hm, n_hits,
             best_score, best_cnt, max_diff, done, fb, it)
@@ -493,12 +486,6 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     sm1 = sm1.at[:, 0].set(m1_root(0)).at[:, 1].set(m1_root(1))
     key = key.at[:, 0].set(MAX_SEQ - 0)
     key = key.at[:, 1].set(MAX_SEQ - 1)
-    # free-list stack holds slots 2..ACAP-1 (top of stack = slot 2)
-    freelist = jnp.broadcast_to(
-        jnp.arange(ACAP - 1, 1, -1, dtype=I32)[None, :], (B, ACAP - 2))
-    freelist = jnp.concatenate(
-        [freelist, jnp.zeros((B, 2), dtype=I32)], axis=1)
-    ftop = jnp.full((B,), ACAP - 2, I32)
     seqc = jnp.full((B,), 2, I32)
     stack_n = jnp.full((B,), 2, I32)
 
@@ -516,13 +503,13 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     rid = jnp.arange(B, dtype=I32)
     lane_it = jnp.zeros((B,), I32)
     st = (rid, lens, has_seed, lane_it,
-          sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+          sk, sl_, sm1, sm2, key, seqc, stack_n,
           w, bid, sw, sbid,
           hk, hl, hm, n_hits,
           best_score, best_cnt, max_diff0, done, fb, it)
 
     def cond(st):
-        done, fb, it = st[24], st[25], st[26]
+        done, fb, it = st[22], st[23], st[24]
         return jnp.any(~done & ~fb) & (it < MAX_ITERS)
 
     def body(st):
@@ -530,7 +517,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
 
     st = jax.lax.while_loop(cond, body, st)
     (rid, lens, has_seed, lane_it,
-     sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+     sk, sl_, sm1, sm2, key, seqc, stack_n,
      w, bid, sw, sbid,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
@@ -539,6 +526,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     return hits, n_hits, fb, it
 
 
+PALLAS_STACK = None  # None = auto (on for TPU backends)
 E_UNROLL = 8     # exact-extension bases consumed per E pop
 ITER_CAP = 384    # pushes before a read is routed to the host emulator
 SWITCH_K = 16    # search steps between lane-switch phases
@@ -573,14 +561,11 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     out_fb = jnp.zeros((N,), dtype=bool)
 
     rows = jnp.arange(B)
-    pristine_free = jnp.concatenate(
-        [jnp.arange(ACAP - 1, 1, -1, dtype=I32),
-         jnp.zeros((2,), dtype=I32)])[None, :]
 
     def switch(carry):
         (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st) = carry
         (rid, lens_l, hs_l, lane_it,
-         sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+         sk, sl_, sm1, sm2, key, seqc, stack_n,
          w, bid, sw, sbid,
          hk, hl, hm, n_hits,
          best_score, best_cnt, max_diff, done, fb, it) = st
@@ -630,8 +615,6 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         sm1 = sm1.at[lrow, 1].set(
             _pack_m1(jnp.full((B,), STATE_M, I32), jnp.ones((B,), I32),
                      lens_l, zeros_b), mode="drop")
-        freelist = jnp.where(load[:, None], pristine_free, freelist)
-        ftop = jnp.where(load, ACAP - 2, ftop)
         seqc = jnp.where(load, 2, seqc)
         stack_n = jnp.where(load, 2, stack_n)
         lane_it = jnp.where(load, 0, lane_it)
@@ -644,7 +627,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         fb = jnp.where(fin, False, fb)
 
         st = (rid, lens_l, hs_l, lane_it,
-              sk, sl_, sm1, sm2, key, freelist, ftop, seqc, stack_n,
+              sk, sl_, sm1, sm2, key, seqc, stack_n,
               w, bid, sw, sbid,
               hk, hl, hm, n_hits,
               best_score, best_cnt, max_diff, done, fb, it)
@@ -656,8 +639,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     zu = jnp.zeros((B, ACAP), U32)
     st0 = (rows.astype(I32) - B, zb + 1, jnp.zeros((B,), bool), zb,
            zu, zu, zu, zu, jnp.full((B, ACAP), INT32_MAX, I32),
-           jnp.broadcast_to(pristine_free, (B, ACAP)),
-           jnp.full((B,), ACAP - 2, I32), zb + 2, zb,
+           zb + 2, zb,
            jnp.zeros((B, 2, cfg.L + 1), U32),
            jnp.zeros((B, 2, cfg.L + 1), I32),
            jnp.zeros((B, 2, cfg.SL + 1), U32),
@@ -670,7 +652,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
              st0)
 
     def cond(carry):
-        return (carry[0] > 0) & (carry[6][26] < MAX_ITERS * 8)
+        return (carry[0] > 0) & (carry[6][24] < MAX_ITERS * 8)
 
     def body(carry):
         carry = switch(carry)
@@ -686,7 +668,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st = carry
     out_fb = out_fb | (remaining > 0)  # iteration-bound hit: all fall back
     hits = jnp.stack([out_hm, out_hk, out_hl], axis=-1)
-    return hits, out_nh, out_fb, st[26]
+    return hits, out_nh, out_fb, st[24]
 
 
 def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
@@ -702,6 +684,8 @@ def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
         max_entries=min(opt.max_entries, INT32_MAX),
         max_seed_diff=opt.max_seed_diff,
         iter_cap=ITER_CAP,
+        pallas_stack=(PALLAS_STACK if PALLAS_STACK is not None
+                      else jax.default_backend() != "cpu"),
         gape_mode=bool(opt.mode & BWA_MODE_GAPE),
         nonstop=bool(opt.mode & BWA_MODE_NONSTOP),
         loggap=bool(opt.mode & BWA_MODE_LOGGAP),
