@@ -44,6 +44,9 @@ def cmd_aln(argv: list[str]) -> int:
     ap.add_argument("-R", type=int, default=None, help="max equally-best")
     ap.add_argument("-q", type=int, default=None, help="trim quality")
     ap.add_argument("-N", action="store_true", help="non-iterative mode")
+    ap.add_argument("-t", type=int, default=1,
+                    help="host threads (device path is batch-parallel; "
+                         "this caps the native fallback's OpenMP pool)")
     ap.add_argument("-c", action="store_true", help="color-space reads")
     ap.add_argument("-b", action="store_true", help="BAM input")
     ap.add_argument("-B", type=int, default=0, help="barcode length")
@@ -82,6 +85,10 @@ def cmd_aln(argv: list[str]) -> int:
     if args.N:
         opt.mode |= BWA_MODE_NONSTOP
         opt.max_top2 = 0x7FFFFFFF
+    opt.n_threads = args.t
+    if args.t > 0:
+        import os
+        os.environ.setdefault("OMP_NUM_THREADS", str(args.t))
     if args.c:
         opt.mode &= ~0x02  # clear BWA_MODE_COMPREAD (bwtaln.c:262)
     if args.b:

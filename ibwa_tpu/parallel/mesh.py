@@ -1,0 +1,59 @@
+"""Multi-device / multi-host layout for the aln engine (SURVEY.md §2.6).
+
+Reads are the data axis — the reference's pthread work-claiming
+(bwtaln.c:100-113) becomes batch sharding over a `dp` mesh — and the
+FM-index block table is replicated per device (the reference shares one
+read-only index across threads, bwtaln.c:212).  Index replication fits a
+human-genome-scale table (~1.2 GB of 48-byte block rows per strand) in a
+single v5e chip's HBM; sharding the table over a second mesh axis with
+ppermute'd interval queries is the planned >HBM mode.
+
+Multi-host: run one process per host under `jax.distributed.initialize`;
+each host feeds its local shard of the read batch (per-host fastq
+shards), and the same jit works unchanged — collectives ride ICI within
+a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..align import engine_jax
+from ..fm.device import DeviceFmPair
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D `dp` mesh over the requested devices (defaults to all)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dp",))
+
+
+def shard_inputs(mesh: Mesh, dfm: DeviceFmPair, arrays: tuple):
+    """Place the index replicated and the read batch sharded over dp."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("dp"))
+    fm_args = tuple(jax.device_put(jnp.asarray(a), repl)
+                    for a in (dfm.blocks, dfm.L2, dfm.l2diff, dfm.primary))
+    batch = tuple(jax.device_put(jnp.asarray(a), shard) for a in arrays)
+    return fm_args, batch
+
+
+def run_sharded_search(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs, lens,
+                       max_diff, has_seed, seed_seqs, bad):
+    """Jit + run one sharded aln search step over the mesh.
+
+    The batch axis must be divisible by the mesh size; the search is
+    embarrassingly parallel over reads, so XLA partitions the whole
+    while-loop without cross-device collectives (the `any` in the loop
+    condition becomes the only psum)."""
+    fm_args, batch = shard_inputs(
+        mesh, dfm, (seqs, lens, max_diff, has_seed, seed_seqs, bad))
+    with mesh:
+        return engine_jax._run_search(
+            cfg, *fm_args, *batch,
+            seq_len=dfm.seq_len, n_blk=dfm.n_blk)
