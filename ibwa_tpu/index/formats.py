@@ -209,17 +209,26 @@ def interleave_occ(bwt_words: np.ndarray, seq_len: int) -> np.ndarray:
     n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
     out_size = n_text_words + (n_blocks + 1) * 4
     out = np.zeros(out_size, dtype=np.uint32)
-    pos = 0
-    widx = 0
-    for blk in range(n_blocks):
-        out[pos : pos + 4] = [onehot[c][blk * OCC_INTERVAL] for c in range(4)]
+    # vectorized interleave: full blocks are 12 words (4 ckpt + 8 text);
+    # only the final block may carry fewer text words
+    full = max(n_blocks - 1, 0)
+    if full:
+        body = out[: full * 12].reshape(full, 12)
+        for c in range(4):
+            body[:, c] = onehot[c][np.arange(full) * OCC_INTERVAL]
+        body[:, 4:] = w[: full * 8].reshape(full, 8)
+    pos = full * 12
+    widx = full * 8
+    if n_blocks:
+        for c in range(4):
+            out[pos + c] = onehot[c][full * OCC_INTERVAL]
         pos += 4
-        n_words = min(8, n_text_words - widx)
-        out[pos : pos + n_words] = w[widx : widx + n_words]
-        pos += n_words
-        widx += n_words
+        rem = n_text_words - widx
+        out[pos : pos + rem] = w[widx:]
+        pos += rem
     # trailing checkpoint with the totals (bwtmisc.c:139-140)
-    out[pos : pos + 4] = [onehot[c][seq_len] for c in range(4)]
+    for c in range(4):
+        out[pos + c] = onehot[c][seq_len]
     pos += 4
     assert pos == out_size, (pos, out_size)
     return out

@@ -48,6 +48,8 @@ def load() -> ctypes.CDLL:
         lib.ibwa_sais.restype = ctypes.c_int32
         lib.ibwa_bwt_inplace.argtypes = [u8p, ctypes.c_int32]
         lib.ibwa_bwt_inplace.restype = ctypes.c_int32
+        lib.ibwa_bwt_inplace64.argtypes = [u8p, ctypes.c_int64]
+        lib.ibwa_bwt_inplace64.restype = ctypes.c_int64
         lib.ibwa_cal_sa.argtypes = [u32p, ctypes.c_uint32, u32p,
                                     ctypes.c_uint32, ctypes.c_uint32, u32p,
                                     ctypes.c_uint32]
@@ -103,11 +105,18 @@ def sais(text: np.ndarray, alphabet: int = 4) -> np.ndarray:
 
 
 def bwt_inplace(text: np.ndarray) -> tuple[np.ndarray, int]:
-    """Sentinel-removed BWT of a 2-bit uint8 text; returns (bwt, primary)."""
+    """Sentinel-removed BWT of a 2-bit uint8 text; returns (bwt, primary).
+
+    Texts beyond int32 positions (>2GB genomes, the reference's
+    `index -a bwtsw` territory) take the 64-bit SA-IS path."""
     lib = load()
     buf = np.ascontiguousarray(text, dtype=np.uint8).copy()
-    primary = lib.ibwa_bwt_inplace(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
+    if len(buf) >= (1 << 31) - 2:
+        primary = lib.ibwa_bwt_inplace64(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
+    else:
+        primary = lib.ibwa_bwt_inplace(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
     if primary < 0:
         raise RuntimeError("ibwa_bwt_inplace failed")
     return buf, int(primary)

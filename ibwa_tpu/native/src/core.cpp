@@ -23,33 +23,34 @@ namespace {
 // can reuse the same code for the int32 reduced problem.
 // ---------------------------------------------------------------------------
 
-template <typename TextT>
+template <typename TextT, typename IdxT>
 struct SaisProblem {
   const TextT* text;
-  int32_t n;
-  int32_t alphabet;
+  IdxT n;
+  IdxT alphabet;
 };
 
-template <typename TextT>
-static void compute_buckets(const SaisProblem<TextT>& p, std::vector<int32_t>& bkt,
-                            bool tails) {
+template <typename TextT, typename IdxT>
+static void compute_buckets(const SaisProblem<TextT, IdxT>& p,
+                            std::vector<IdxT>& bkt, bool tails) {
   std::fill(bkt.begin(), bkt.end(), 0);
-  for (int32_t i = 0; i < p.n; ++i) bkt[p.text[i]] += 1;
-  int32_t sum = 0;
-  for (int32_t c = 0; c < p.alphabet; ++c) {
+  for (IdxT i = 0; i < p.n; ++i) bkt[p.text[i]] += 1;
+  IdxT sum = 0;
+  for (IdxT c = 0; c < p.alphabet; ++c) {
     sum += bkt[c];
     bkt[c] = tails ? sum : sum - bkt[c];
   }
 }
 
 // type array: true = S-type suffix, false = L-type
-template <typename TextT>
-static void classify(const SaisProblem<TextT>& p, std::vector<bool>& stype) {
+template <typename TextT, typename IdxT>
+static void classify(const SaisProblem<TextT, IdxT>& p,
+                     std::vector<bool>& stype) {
   stype.assign(p.n + 1, false);
   stype[p.n] = true;  // empty suffix is S by convention
   if (p.n == 0) return;
   stype[p.n - 1] = false;  // last char > empty suffix
-  for (int32_t i = p.n - 2; i >= 0; --i) {
+  for (IdxT i = p.n - 2; i >= 0; --i) {
     if (p.text[i] < p.text[i + 1])
       stype[i] = true;
     else if (p.text[i] > p.text[i + 1])
@@ -59,63 +60,64 @@ static void classify(const SaisProblem<TextT>& p, std::vector<bool>& stype) {
   }
 }
 
-static inline bool is_lms(const std::vector<bool>& stype, int32_t i) {
+template <typename IdxT>
+static inline bool is_lms(const std::vector<bool>& stype, IdxT i) {
   return i > 0 && stype[i] && !stype[i - 1];
 }
 
-template <typename TextT>
-static void induce(const SaisProblem<TextT>& p, int32_t* sa,
-                   const std::vector<bool>& stype, std::vector<int32_t>& bkt) {
+template <typename TextT, typename IdxT>
+static void induce(const SaisProblem<TextT, IdxT>& p, IdxT* sa,
+                   const std::vector<bool>& stype, std::vector<IdxT>& bkt) {
   // forward pass: place L-types after their successors
   compute_buckets(p, bkt, /*tails=*/false);
   // virtual sentinel: suffix n-1 precedes the (unstored) empty suffix
   if (p.n > 0 && !stype[p.n - 1]) sa[bkt[p.text[p.n - 1]]++] = p.n - 1;
-  for (int32_t i = 0; i < p.n; ++i) {
-    int32_t j = sa[i] - 1;
+  for (IdxT i = 0; i < p.n; ++i) {
+    IdxT j = sa[i] - 1;
     if (sa[i] > 0 && !stype[j]) sa[bkt[p.text[j]]++] = j;
   }
   // backward pass: place S-types
   compute_buckets(p, bkt, /*tails=*/true);
-  for (int32_t i = p.n - 1; i >= 0; --i) {
-    int32_t j = sa[i] - 1;
+  for (IdxT i = p.n - 1; i >= 0; --i) {
+    IdxT j = sa[i] - 1;
     if (sa[i] > 0 && stype[j]) sa[--bkt[p.text[j]]] = j;
   }
 }
 
-template <typename TextT>
-static void sais_core(const TextT* text, int32_t* sa, int32_t n, int32_t alphabet) {
+template <typename TextT, typename IdxT>
+static void sais_core(const TextT* text, IdxT* sa, IdxT n, IdxT alphabet) {
   if (n == 0) return;
   if (n == 1) {
     sa[0] = 0;
     return;
   }
-  SaisProblem<TextT> p{text, n, alphabet};
+  SaisProblem<TextT, IdxT> p{text, n, alphabet};
   std::vector<bool> stype;
   classify(p, stype);
-  std::vector<int32_t> bkt(alphabet);
+  std::vector<IdxT> bkt(alphabet);
 
   // step 1: rough sort — drop LMS suffixes at bucket tails, induce
-  std::fill(sa, sa + n, -1);
+  std::fill(sa, sa + n, (IdxT)-1);
   compute_buckets(p, bkt, /*tails=*/true);
-  for (int32_t i = n - 1; i >= 1; --i)
+  for (IdxT i = n - 1; i >= 1; --i)
     if (is_lms(stype, i)) sa[--bkt[text[i]]] = i;
   induce(p, sa, stype, bkt);
 
   // step 2: name LMS substrings in their sorted order
-  int32_t n_lms = 0;
-  for (int32_t i = 0; i < n; ++i)
+  IdxT n_lms = 0;
+  for (IdxT i = 0; i < n; ++i)
     if (is_lms(stype, sa[i])) sa[n_lms++] = sa[i];
-  int32_t* lms_sorted = sa;            // first n_lms slots
-  int32_t* names = sa + n_lms;         // rest reused as name buffer
-  std::fill(names, sa + n, -1);
-  int32_t n_names = 0;
-  int32_t prev = -1;
-  for (int32_t k = 0; k < n_lms; ++k) {
-    int32_t cur = lms_sorted[k];
+  IdxT* lms_sorted = sa;            // first n_lms slots
+  IdxT* names = sa + n_lms;         // rest reused as name buffer
+  std::fill(names, sa + n, (IdxT)-1);
+  IdxT n_names = 0;
+  IdxT prev = -1;
+  for (IdxT k = 0; k < n_lms; ++k) {
+    IdxT cur = lms_sorted[k];
     bool differ = (prev < 0);
     if (!differ) {
       // compare LMS substrings at prev and cur
-      for (int32_t d = 0;; ++d) {
+      for (IdxT d = 0;; ++d) {
         bool end_p = (prev + d == n) || (d > 0 && is_lms(stype, prev + d));
         bool end_c = (cur + d == n) || (d > 0 && is_lms(stype, cur + d));
         if (end_p && end_c) break;
@@ -132,31 +134,31 @@ static void sais_core(const TextT* text, int32_t* sa, int32_t n, int32_t alphabe
     names[cur / 2] = n_names - 1;
   }
   // compact names into the reduced string
-  std::vector<int32_t> reduced;
-  std::vector<int32_t> lms_pos;
+  std::vector<IdxT> reduced;
+  std::vector<IdxT> lms_pos;
   reduced.reserve(n_lms);
   lms_pos.reserve(n_lms);
-  for (int32_t i = 1; i < n; ++i)
+  for (IdxT i = 1; i < n; ++i)
     if (is_lms(stype, i)) lms_pos.push_back(i);
-  for (int32_t i = 0; i < n - n_lms; ++i)
+  for (IdxT i = 0; i < n - n_lms; ++i)
     if (names[i] >= 0) reduced.push_back(names[i]);
   // note: lms_pos is in text order and so is the compacted name sequence
 
   // step 3: order LMS suffixes
-  std::vector<int32_t> lms_order(n_lms);
+  std::vector<IdxT> lms_order(n_lms);
   if (n_names < n_lms) {
-    std::vector<int32_t> sub_sa(n_lms);
-    sais_core<int32_t>(reduced.data(), sub_sa.data(), n_lms, n_names);
-    for (int32_t k = 0; k < n_lms; ++k) lms_order[k] = lms_pos[sub_sa[k]];
+    std::vector<IdxT> sub_sa(n_lms);
+    sais_core<IdxT, IdxT>(reduced.data(), sub_sa.data(), n_lms, n_names);
+    for (IdxT k = 0; k < n_lms; ++k) lms_order[k] = lms_pos[sub_sa[k]];
   } else {
-    for (int32_t k = 0; k < n_lms; ++k) lms_order[reduced[k]] = lms_pos[k];
+    for (IdxT k = 0; k < n_lms; ++k) lms_order[reduced[k]] = lms_pos[k];
   }
 
   // step 4: final induce from exactly-sorted LMS suffixes
-  std::fill(sa, sa + n, -1);
+  std::fill(sa, sa + n, (IdxT)-1);
   compute_buckets(p, bkt, /*tails=*/true);
-  for (int32_t k = n_lms - 1; k >= 0; --k) {
-    int32_t j = lms_order[k];
+  for (IdxT k = n_lms - 1; k >= 0; --k) {
+    IdxT j = lms_order[k];
     sa[--bkt[text[j]]] = j;
   }
   induce(p, sa, stype, bkt);
@@ -231,7 +233,7 @@ extern "C" {
 // Suffix array of text[0..n-1] (values 0..alphabet-1). Returns 0 on success.
 int32_t ibwa_sais(const uint8_t* text, int32_t* sa, int32_t n, int32_t alphabet) {
   if (!text || !sa || n < 0) return -1;
-  sais_core<uint8_t>(text, sa, n, alphabet);
+  sais_core<uint8_t, int32_t>(text, sa, n, alphabet);
   return 0;
 }
 
@@ -240,7 +242,7 @@ int32_t ibwa_sais(const uint8_t* text, int32_t* sa, int32_t n, int32_t alphabet)
 int32_t ibwa_bwt_inplace(uint8_t* text, int32_t n) {
   if (n <= 0) return n == 0 ? 0 : -1;
   std::vector<int32_t> sa(n);
-  sais_core<uint8_t>(text, sa.data(), n, 4);
+  sais_core<uint8_t, int32_t>(text, sa.data(), n, 4);
   // full SA order: [empty suffix] + sa; BWT[i] = text[SA_full[i] - 1]
   std::vector<uint8_t> bwt(n);
   int32_t primary = 0;
@@ -249,6 +251,28 @@ int32_t ibwa_bwt_inplace(uint8_t* text, int32_t n) {
   for (int32_t i = 0; i < n; ++i) {
     if (sa[i] == 0) {
       primary = i + 1;  // row of the sentinel in the full matrix
+      continue;
+    }
+    bwt[out++] = text[sa[i] - 1];
+  }
+  std::memcpy(text, bwt.data(), n);
+  return primary;
+}
+
+// 64-bit in-place BWT for genomes whose suffix positions exceed int32
+// (the reference reaches these sizes via `index -a bwtsw`; the BWT is
+// unique so outputs agree byte-for-byte).
+int64_t ibwa_bwt_inplace64(uint8_t* text, int64_t n) {
+  if (n <= 0) return n == 0 ? 0 : -1;
+  std::vector<int64_t> sa(n);
+  sais_core<uint8_t, int64_t>(text, sa.data(), n, 4);
+  std::vector<uint8_t> bwt(n);
+  int64_t primary = 0;
+  bwt[0] = text[n - 1];
+  int64_t out = 1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (sa[i] == 0) {
+      primary = i + 1;
       continue;
     }
     bwt[out++] = text[sa[i] - 1];
