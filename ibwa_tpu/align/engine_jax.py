@@ -60,7 +60,8 @@ ACAP = 1024      # entry arena slots per read
 HCAP = 64        # max hits recorded per read
 MAX_ITERS = 16384
 MAX_SEQ = 0xFFFFF  # seqno field width in the priority key
-DEV_BATCH = 1024  # reads per device dispatch
+DEV_BATCH = 1024   # persistent device lanes per dispatch
+PERSIST_N = 32768  # reads streamed through the lanes per dispatch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -735,11 +736,11 @@ class JaxAlnEngine:
 
         out: list[list[Hit] | None] = [None] * n_reads
         fb_idx: list[int] = []
-        for lo in range(0, n_reads, DEV_BATCH):
-            hi = min(lo + DEV_BATCH, n_reads)
+        for lo in range(0, n_reads, PERSIST_N):
+            hi = min(lo + PERSIST_N, n_reads)
             B = hi - lo
             # pad the dispatch to a power of two to bound recompiles
-            PB = 1
+            PB = DEV_BATCH
             while PB < B:
                 PB *= 2
             sq = np.full((PB, 2, L), 4, dtype=np.uint8)
@@ -760,13 +761,14 @@ class JaxAlnEngine:
                     ssq[b, 0] = s[n - SL:n]
                     ssq[b, 1] = r[n - SL:n]
                 bad[b] = int((s > 3).sum()) > int(max_diff[lo + b])
-            harr, n_hits, fb, it = _run_search(
+            harr, n_hits, fb, it = _run_search_persistent(
                 cfg, self.dfm.blocks, self.dfm.L2,
                 self.dfm.l2diff, self.dfm.primary,
                 jnp.asarray(sq), jnp.asarray(p_lens),
                 jnp.asarray(p_md), jnp.asarray(hs),
                 jnp.asarray(ssq), jnp.asarray(bad),
-                seq_len=self.dfm.seq_len, n_blk=self.dfm.n_blk)
+                seq_len=self.dfm.seq_len, n_blk=self.dfm.n_blk,
+                n_lanes=DEV_BATCH)
             harr = np.asarray(harr)
             n_hits = np.asarray(n_hits)
             fb = np.asarray(fb)

@@ -304,6 +304,12 @@ def cmd_solid2fastq(argv: list[str]) -> int:
     return 0
 
 
+def cmd_prepare_remap(argv: list[str]) -> int:
+    """.remap generation from a GRC release tree (parse/prepare-grch37.pl)."""
+    from .tools.prepare_remap import main as pr_main
+    return pr_main(argv)
+
+
 def _cmds():
     from .index.builder import pac2bwt, pac_rev, pac2cspac
     return {
@@ -322,6 +328,7 @@ def _cmds():
         "qualfa2fq": cmd_qualfa2fq,
         "solid2fastq": cmd_solid2fastq,
         "bwasw": cmd_bwasw,
+        "prepare-remap": cmd_prepare_remap,
     }
 
 

@@ -57,3 +57,33 @@ def run_sharded_search(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs, lens,
         return engine_jax._run_search(
             cfg, *fm_args, *batch,
             seq_len=dfm.seq_len, n_blk=dfm.n_blk)
+
+
+def run_sharded_search_persistent(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs,
+                                  lens, max_diff, has_seed, seed_seqs, bad,
+                                  n_lanes: int):
+    """The production path over a mesh: per-device persistent schedulers.
+
+    shard_map (not whole-array pjit) so each device runs its own
+    persistent-lane while_loop over its read shard with NO per-step
+    cross-device sync — a device that drains its shard early simply
+    finishes, instead of the whole mesh stepping until the globally
+    slowest lane drains (the reference's pthread work-claiming has the
+    same property within a host, bwtaln.c:100-113)."""
+    fm_args, batch = shard_inputs(
+        mesh, dfm, (seqs, lens, max_diff, has_seed, seed_seqs, bad))
+
+    def local(blocks, L2, l2diff, primary, *b):
+        hits, n_hits, fb, it = engine_jax._run_search_persistent.__wrapped__(
+            cfg, blocks, L2, l2diff, primary, *b,
+            seq_len=dfm.seq_len, n_blk=dfm.n_blk, n_lanes=n_lanes)
+        return hits, n_hits, fb, it[None]
+
+    repl = P()
+    shard = P("dp")
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, repl, repl, repl) + (shard,) * 6,
+        out_specs=(shard, shard, shard, shard),
+        check_vma=False))
+    return fn(*fm_args, *batch)
