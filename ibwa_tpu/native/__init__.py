@@ -148,6 +148,35 @@ def sa_lookup(interleaved: np.ndarray, primary: int, l2: np.ndarray,
     return out
 
 
+class SaHandle:
+    """Prepared SA-walk state: the contiguous casts + ctypes pointers are
+    built once, so per-call cost is one ks/out pair (the naive path paid
+    5 array copies + casts per lookup — the sampe hot spot)."""
+
+    __slots__ = ("_lib", "_keep", "_itl", "_l2", "_sa", "primary",
+                 "seq_len", "sa_intv")
+
+    def __init__(self, interleaved, primary, l2, seq_len, sa_intv,
+                 sampled_sa):
+        self._lib = load()
+        itl = np.ascontiguousarray(interleaved, dtype=np.uint32)
+        l2c = np.ascontiguousarray(l2, dtype=np.uint32)
+        sac = np.ascontiguousarray(sampled_sa, dtype=np.uint32)
+        self._keep = (itl, l2c, sac)
+        self._itl, self._l2, self._sa = _u32(itl), _u32(l2c), _u32(sac)
+        self.primary = int(primary)
+        self.seq_len = int(seq_len)
+        self.sa_intv = int(sa_intv)
+
+    def lookup(self, ks: np.ndarray) -> np.ndarray:
+        ks = np.ascontiguousarray(ks, dtype=np.uint32)
+        out = np.empty(len(ks), dtype=np.uint32)
+        self._lib.ibwa_sa_lookup(self._itl, self.primary, self._l2,
+                                 self.seq_len, self.sa_intv, self._sa,
+                                 _u32(ks), len(ks), _u32(out))
+        return out
+
+
 def occ(interleaved: np.ndarray, primary: int, l2: np.ndarray, seq_len: int,
         k: int, c: int) -> int:
     lib = load()

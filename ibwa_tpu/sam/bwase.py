@@ -261,6 +261,33 @@ def refine_gapped_core(dbs: DbSet, dbidx: int, seqid: int, length: int,
     return cigar, pos
 
 
+_BASE_CHARS = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_COMP_CHARS = np.frombuffer(b"TGCAN", dtype=np.uint8)
+_MD_PAIRS = [f"{g}{b}" for g in range(10) for b in "ACGTN"]
+
+
+def _md_span(out: list[str], ref: np.ndarray, sub: np.ndarray, u: int
+             ) -> tuple[int, int]:
+    """One M-span of the MD walk, vectorized; returns (u, n_mismatch)."""
+    ref = np.asarray(ref, dtype=np.uint8)
+    sub = np.asarray(sub, dtype=np.uint8)
+    mis = np.flatnonzero((ref > 3) | (sub > 3) | (ref != sub))
+    if len(mis) == 0:
+        return u + len(ref), 0
+    gaps = np.empty(len(mis), dtype=np.int64)
+    gaps[0] = u + int(mis[0])
+    gaps[1:] = mis[1:] - mis[:-1] - 1
+    if int(gaps.max()) < 10:   # single-digit runs: one table lookup/pair
+        idx = (gaps * 5 + ref[mis]).tolist()
+        out.append("".join(map(_MD_PAIRS.__getitem__, idx)))
+    else:
+        bases = "ACGTN"
+        refm = ref[mis].tolist()
+        out.append("".join(str(g) + bases[c]
+                           for g, c in zip(gaps.tolist(), refm)))
+    return len(ref) - 1 - int(mis[-1]), len(mis)
+
+
 def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
             seq: np.ndarray, dbs: DbSet, nt: bool = False
             ) -> tuple[str, int]:
@@ -276,15 +303,8 @@ def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
                 span = min(ln, max(dbs.l_pac - x, 0))
                 if span > 0:
                     ref = dbs.extract_sequence(x, span, nt=nt)
-                    for z in range(len(ref)):
-                        cb = int(ref[z])
-                        if cb > 3 or int(seq[y + z]) > 3 or cb != seq[y + z]:
-                            out.append(f"{u}")
-                            out.append("ACGTN"[cb])
-                            nm += 1
-                            u = 0
-                        else:
-                            u += 1
+                    u, add = _md_span(out, ref, seq[y:y + len(ref)], u)
+                    nm += add
                 x += ln
                 y += ln
             elif op in (FROM_I, FROM_S):
@@ -297,22 +317,16 @@ def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
                 span = min(ln, max(dbs.l_pac - x, 0))
                 if span > 0:
                     ref = dbs.extract_sequence(x, span, nt=nt)
-                    out.extend("ACGT"[int(cb)] for cb in ref)
+                    out.append(_BASE_CHARS[np.asarray(ref, np.uint8)]
+                               .tobytes().decode())
                 u = 0
                 x += ln
                 nm += ln
     else:
         span = min(length, max(dbs.l_pac - x, 0))
-        ref = dbs.extract_sequence(x, span, nt=nt) if span > 0 else []
-        for z in range(len(ref)):
-            cb = int(ref[z])
-            if cb > 3 or int(seq[z]) > 3 or cb != seq[z]:
-                out.append(f"{u}")
-                out.append("ACGTN"[cb])
-                nm += 1
-                u = 0
-            else:
-                u += 1
+        if span > 0:
+            ref = dbs.extract_sequence(x, span, nt=nt)
+            u, nm = _md_span(out, ref, seq[:len(ref)], u)
     out.append(f"{u}")
     return "".join(out), nm
 
@@ -488,17 +502,18 @@ def print_sam1(dbs: DbSet, p: AlnSeq, mate: AlnSeq | None, mode: int,
 
         # sequence + quality (original read orientation rules)
         if p.conv is not None:  # color mode: decoded nucleotide read
-            out.write("".join("ACGTN"[b] for b in p.conv))
+            out.write(_BASE_CHARS[np.asarray(p.conv, np.uint8)]
+                      .tobytes().decode("latin-1"))
             out.write("\t")
             out.write(p.conv_qual.decode("latin-1") if p.conv_qual
                       else "*")
         else:
-            orig = r.orig
+            orig = np.asarray(r.orig, np.uint8)
             if p.strand == 0:
-                out.write("".join("ACGTN"[b] for b in orig))
+                out.write(_BASE_CHARS[orig].tobytes().decode("latin-1"))
             else:
-                out.write("".join("TGCAN"[orig[r.full_len - 1 - jj]]
-                                  for jj in range(r.full_len)))
+                out.write(_COMP_CHARS[orig[::-1]].tobytes()
+                          .decode("latin-1"))
             out.write("\t")
             if r.qual is not None:
                 q = r.qual
@@ -555,7 +570,8 @@ def print_sam1(dbs: DbSet, p: AlnSeq, mate: AlnSeq | None, mode: int,
             flag |= SAM_FMU
         out.write(f"{r.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t")
         s = r.rseq if p.strand else r.orig
-        out.write("".join("ACGTN"[b] for b in s[:p.len]))
+        out.write(_BASE_CHARS[np.asarray(s[:p.len], np.uint8)]
+                  .tobytes().decode("latin-1"))
         out.write("\t")
         if r.qual is not None:
             q = r.qual

@@ -32,6 +32,8 @@ class BwtDb:
     target_idx_cache: dict = dataclasses.field(default_factory=dict)
     ntbns: Bns | None = None         # color space: nucleotide bns
     ntpac: np.ndarray | None = None  # color space: nucleotide pac, lazy
+    _sa_handles: list = dataclasses.field(
+        default_factory=lambda: [None, None])
 
     def load_ntpac(self) -> np.ndarray:
         if self.ntpac is None:
@@ -56,18 +58,22 @@ class BwtDb:
         """
         sa = np.asarray(sa, dtype=np.uint32)
         if strand:
-            fm = self.load_fm(0)
-            vals = native.sa_lookup(fm._interleaved, fm.primary,
-                                    fm.L2.astype(np.uint32), fm.seq_len,
-                                    fm.sa_intv, fm.sa, sa)
+            vals = self._sa_handle(0).lookup(sa)
             return self.offset + vals.astype(np.int64)
         fm = self.load_fm(1)
-        vals = native.sa_lookup(fm._interleaved, fm.primary,
-                                fm.L2.astype(np.uint32), fm.seq_len,
-                                fm.sa_intv, fm.sa, sa)
+        vals = self._sa_handle(1).lookup(sa)
         return (self.offset + fm.seq_len
                 - (vals.astype(np.int64) + np.asarray(seq_len,
                                                       dtype=np.int64)))
+
+    def _sa_handle(self, strand: int) -> native.SaHandle:
+        h = self._sa_handles[strand]
+        if h is None:
+            fm = self.load_fm(strand)
+            h = native.SaHandle(fm._interleaved, fm.primary, fm.L2,
+                                fm.seq_len, fm.sa_intv, fm.sa)
+            self._sa_handles[strand] = h
+        return h
 
 
 class DbSet:
