@@ -169,7 +169,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     """
     (rid, lens, has_seed, lane_it,
      sk, sl_, sm1, sm2, key, seqc, stack_n,
-     w, bid, sw, sbid,
+     w, bid,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
     B = lens.shape[0]
@@ -225,22 +225,22 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     l2b = fm.L2[:4][None, :]
     kj = l2b + cnt_k + 1                             # [B, 4]
     lj = l2b + cnt_l
-    # width/bid lookups at (i2-1, i2) — one [B,2]-position gather each
-    pos2 = jnp.stack([jnp.maximum(i2 - 1, 0), i2], axis=-1)
-    r2 = rows[:, None]
-    a2 = e_a[:, None]
-    wg = w[r2, a2, pos2]
-    bg = bid[r2, a2, pos2]
-    wm1, w0_ = wg[:, 0], wg[:, 1]
-    bm1, b0_ = bg[:, 0], bg[:, 1]
+    # width/bid lookups at (i2-1, i2) + seed lookups: the seed tables are
+    # concatenated after the main ones on the position axis, so each
+    # plane needs ONE [B,4]-position gather (gathers are latency-bound,
+    # so 2 gathers of 4 positions beat 4 gathers of 2)
     ii = i2 - (lens - cfg.SL)
     iim1 = jnp.clip(ii - 1, 0, cfg.SL)
     ii_c = jnp.clip(ii, 0, cfg.SL)
-    spos2 = jnp.stack([iim1, ii_c], axis=-1)
-    swg = sw[r2, a2, spos2]
-    sbg = sbid[r2, a2, spos2]
-    swm1, sw0 = swg[:, 0], swg[:, 1]
-    sbm1, sb0 = sbg[:, 0], sbg[:, 1]
+    SOFF = cfg.L + 1
+    pos4 = jnp.stack([jnp.maximum(i2 - 1, 0), i2,
+                      iim1 + SOFF, ii_c + SOFF], axis=-1)
+    r2 = rows[:, None]
+    a2 = e_a[:, None]
+    wg = w[r2, a2, pos4]
+    bg = bid[r2, a2, pos4]
+    wm1, w0_, swm1, sw0 = wg[:, 0], wg[:, 1], wg[:, 2], wg[:, 3]
+    bm1, b0_, sbm1, sb0 = bg[:, 0], bg[:, 1], bg[:, 2], bg[:, 3]
     base = seqs[rid, e_a, i2].astype(I32)            # read base (both paths)
 
     # ---- normal entry: budget + D(i) width pruning ----
@@ -293,7 +293,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     # gap_shadow (bwtgap.c:81-91): masked elementwise over both strands
     x = e_l - e_k + 1
     strand_sel = (jnp.arange(2)[None, :, None] == e_a[:, None, None])
-    inr = (jnp.arange(cfg.L + 1)[None, None, :]
+    # position axis is main [0..L] ++ seed [L+1..L+SL+1]; e_ldp <= L keeps
+    # the shadow off the seed region (the reference shadows only the main
+    # width array, bwtgap.c:81-91)
+    inr = (jnp.arange(cfg.L + cfg.SL + 2)[None, None, :]
            < e_ldp[:, None, None])
     upd = do_add[:, None, None] & strand_sel & inr
     meq = upd & (w == x[:, None, None])
@@ -456,7 +459,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     it = it + 1
     return (rid, lens, has_seed, lane_it,
             sk, sl_, sm1, sm2, key, seqc, stack_n,
-            w, bid, sw, sbid,
+            w, bid,
             hk, hl, hm, n_hits,
             best_score, best_cnt, max_diff, done, fb, it)
 
@@ -472,6 +475,8 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     w, bid = _compute_widths(fm, seqs, lens, cfg.L)
     slens = jnp.where(has_seed, cfg.SL, 0)
     sw, sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
+    w = jnp.concatenate([w, sw], axis=2)
+    bid = jnp.concatenate([bid, sbid], axis=2)
 
     # stack planes (flat [B, ACAP] per field; see _search_step docstring)
     sk = jnp.zeros((B, ACAP), dtype=U32)
@@ -505,12 +510,12 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     lane_it = jnp.zeros((B,), I32)
     st = (rid, lens, has_seed, lane_it,
           sk, sl_, sm1, sm2, key, seqc, stack_n,
-          w, bid, sw, sbid,
+          w, bid,
           hk, hl, hm, n_hits,
           best_score, best_cnt, max_diff0, done, fb, it)
 
     def cond(st):
-        done, fb, it = st[22], st[23], st[24]
+        done, fb, it = st[20], st[21], st[22]
         return jnp.any(~done & ~fb) & (it < MAX_ITERS)
 
     def body(st):
@@ -519,7 +524,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     st = jax.lax.while_loop(cond, body, st)
     (rid, lens, has_seed, lane_it,
      sk, sl_, sm1, sm2, key, seqc, stack_n,
-     w, bid, sw, sbid,
+     w, bid,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it) = st
     fb = fb | (~done)   # iteration bound hit
@@ -554,6 +559,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     big_w, big_bid = _compute_widths(fm, seqs, lens, cfg.L)
     slens = jnp.where(has_seed, cfg.SL, 0)
     big_sw, big_sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
+    big_w = jnp.concatenate([big_w, big_sw], axis=2)
+    big_bid = jnp.concatenate([big_bid, big_sbid], axis=2)
 
     out_hk = jnp.zeros((N, HCAP), dtype=U32)
     out_hl = jnp.zeros((N, HCAP), dtype=U32)
@@ -567,7 +574,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st) = carry
         (rid, lens_l, hs_l, lane_it,
          sk, sl_, sm1, sm2, key, seqc, stack_n,
-         w, bid, sw, sbid,
+         w, bid,
          hk, hl, hm, n_hits,
          best_score, best_cnt, max_diff, done, fb, it) = st
 
@@ -596,8 +603,6 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         l3 = load[:, None, None]
         w = jnp.where(l3, big_w[crid], w)
         bid = jnp.where(l3, big_bid[crid], bid)
-        sw = jnp.where(l3, big_sw[crid], sw)
-        sbid = jnp.where(l3, big_sbid[crid], sbid)
 
         lrow = jnp.where(load, rows, B)
         key = jnp.where(load[:, None], INT32_MAX, key)
@@ -629,7 +634,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
 
         st = (rid, lens_l, hs_l, lane_it,
               sk, sl_, sm1, sm2, key, seqc, stack_n,
-              w, bid, sw, sbid,
+              w, bid,
               hk, hl, hm, n_hits,
               best_score, best_cnt, max_diff, done, fb, it)
         return (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st)
@@ -641,10 +646,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     st0 = (rows.astype(I32) - B, zb + 1, jnp.zeros((B,), bool), zb,
            zu, zu, zu, zu, jnp.full((B, ACAP), INT32_MAX, I32),
            zb + 2, zb,
-           jnp.zeros((B, 2, cfg.L + 1), U32),
-           jnp.zeros((B, 2, cfg.L + 1), I32),
-           jnp.zeros((B, 2, cfg.SL + 1), U32),
-           jnp.zeros((B, 2, cfg.SL + 1), I32),
+           jnp.zeros((B, 2, cfg.L + cfg.SL + 2), U32),
+           jnp.zeros((B, 2, cfg.L + cfg.SL + 2), I32),
            jnp.zeros((B, HCAP), U32), jnp.zeros((B, HCAP), U32),
            jnp.zeros((B, HCAP), U32), zb,
            zb, zb, zb, jnp.ones((B,), bool), jnp.zeros((B,), bool),
@@ -653,7 +656,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
              st0)
 
     def cond(carry):
-        return (carry[0] > 0) & (carry[6][24] < MAX_ITERS * 8)
+        return (carry[0] > 0) & (carry[6][22] < MAX_ITERS * 8)
 
     def body(carry):
         carry = switch(carry)
@@ -669,7 +672,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st = carry
     out_fb = out_fb | (remaining > 0)  # iteration-bound hit: all fall back
     hits = jnp.stack([out_hm, out_hk, out_hl], axis=-1)
-    return hits, out_nh, out_fb, st[24]
+    return hits, out_nh, out_fb, st[22]
 
 
 def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
