@@ -465,11 +465,12 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("seq_len", "n_blk"))
+                   static_argnames=("seq_len", "n_blk", "shard_axis"))
 def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
                 seqs, lens, max_diff0, has_seed, seed_seqs, bad,
-                seq_len: int, n_blk: int):
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk)
+                seq_len: int, n_blk: int, shard_axis: str | None = None):
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk,
+                      shard_axis)
     B = lens.shape[0]
 
     w, bid = _compute_widths(fm, seqs, lens, cfg.L)
@@ -539,10 +540,12 @@ SWITCH_K = 16    # search steps between lane-switch phases
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("seq_len", "n_blk", "n_lanes"))
+                   static_argnames=("seq_len", "n_blk", "n_lanes",
+                                    "shard_axis"))
 def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
                            seqs, lens, max_diff0, has_seed, seed_seqs, bad,
-                           seq_len: int, n_blk: int, n_lanes: int):
+                           seq_len: int, n_blk: int, n_lanes: int,
+                           shard_axis: str | None = None):
     """Persistent-lane scheduler: B lanes stream through N reads.
 
     A plain batched dispatch pays max-pops-over-batch iterations while
@@ -552,7 +555,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     and reloads them with their next read, so total iterations track the
     MEAN pops per read instead of the max.
     """
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk,
+                      shard_axis)
     N = lens.shape[0]
     B = n_lanes
 

@@ -42,10 +42,14 @@ class DeviceFmPair:
     primary: jax.Array  # uint32[2]
     seq_len: int        # static
     n_blk: int          # static
+    # sharded-index mode (>HBM genomes): the 2*n_blk rows of `blocks` are
+    # split contiguously over this mesh axis; every row gather becomes a
+    # masked local gather + a psum over the axis (see _gather_block)
+    shard_axis: str | None = None   # static
 
     def tree_flatten(self):
         return ((self.blocks, self.L2, self.l2diff, self.primary),
-                (self.seq_len, self.n_blk))
+                (self.seq_len, self.n_blk, self.shard_axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -82,7 +86,21 @@ def _gather_block(fm: DeviceFmPair, strand, k):
     blk = (k >> 7).astype(jnp.uint32)
     blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
     off = k & jnp.uint32(127)
-    row = fm.blocks[strand * jnp.uint32(fm.n_blk) + blk]   # [..., 12]
+    flat = strand * jnp.uint32(fm.n_blk) + blk
+    if fm.shard_axis is None:
+        row = fm.blocks[flat]                              # [..., 12]
+    else:
+        # sharded-index mode: rows are split contiguously over the mesh
+        # axis; fetch what this shard owns, zero elsewhere, and psum the
+        # one-hot rows over ICI ([...,12] u32 per query — bandwidth-cheap)
+        n_local = fm.blocks.shape[0]
+        lo = (jax.lax.axis_index(fm.shard_axis).astype(jnp.uint32)
+              * jnp.uint32(n_local))
+        loc = flat - lo
+        owned = loc < jnp.uint32(n_local)   # u32 wrap puts out-of-range high
+        safe = jnp.minimum(loc, jnp.uint32(n_local - 1)).astype(jnp.int32)
+        row = jnp.where(owned[..., None], fm.blocks[safe], jnp.uint32(0))
+        row = jax.lax.psum(row, fm.shard_axis)
     ck = row[..., :4]
     w = row[..., 4:]
     nw = (off >> 4).astype(jnp.int32)       # number of fully-counted words

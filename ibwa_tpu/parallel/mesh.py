@@ -87,3 +87,53 @@ def run_sharded_search_persistent(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs,
         out_specs=(shard, shard, shard, shard),
         check_vma=False))
     return fn(*fm_args, *batch)
+
+
+def make_mesh_2d(n_dp: int, n_idx: int, devices=None) -> Mesh:
+    """A ("dp", "idx") mesh: reads sharded over dp, the FM block table
+    sharded over idx (the >single-chip-HBM mode)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    devs = devs[:n_dp * n_idx]
+    return Mesh(np.array(devs).reshape(n_dp, n_idx), ("dp", "idx"))
+
+
+def run_sharded_index_search(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs,
+                             lens, max_diff, has_seed, seed_seqs, bad,
+                             n_lanes: int):
+    """Search with the FM block table SHARDED over the idx axis.
+
+    For genomes whose interleaved block table exceeds one chip's HBM
+    (human-scale is ~2.9 GB for both strands; a v5e chip has 16 GB, so
+    this matters for pan-genome / multi-reference databases): each idx
+    shard holds a contiguous row range, every occ gather fetches the
+    rows it owns and psums the one-hot rows over the idx axis
+    (fm/device.py::_gather_block).  Reads stay data-parallel over dp;
+    within an idx group all lanes step in lockstep, so the psum is the
+    only added cost (~48 B/query over ICI)."""
+    n_idx = mesh.shape["idx"]
+    if dfm.blocks.shape[0] % n_idx:
+        raise ValueError(
+            f"block rows {dfm.blocks.shape[0]} not divisible by idx="
+            f"{n_idx}; pad the table (padding rows are never addressed)")
+
+    def local(blocks, L2, l2diff, primary, *b):
+        hits, n_hits, fb, it = engine_jax._run_search_persistent.__wrapped__(
+            cfg, blocks, L2, l2diff, primary, *b,
+            seq_len=dfm.seq_len, n_blk=dfm.n_blk, n_lanes=n_lanes,
+            shard_axis="idx")
+        return hits, n_hits, fb, it[None]
+
+    repl = P()
+    shard = P("dp")
+    # outputs are identical across the idx group (lanes run in lockstep on
+    # psum'd rows), so idx is left unmentioned in out_specs (replicated)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("idx"), repl, repl, repl) + (shard,) * 6,
+        out_specs=(shard, shard, shard, shard),
+        check_vma=False))
+    fm_args = tuple(jnp.asarray(a) for a in
+                    (dfm.blocks, dfm.L2, dfm.l2diff, dfm.primary))
+    batch = tuple(jnp.asarray(a) for a in
+                  (seqs, lens, max_diff, has_seed, seed_seqs, bad))
+    return fn(*fm_args, *batch)
