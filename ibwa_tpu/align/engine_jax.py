@@ -56,7 +56,12 @@ I32 = jnp.int32
 INT32_MAX = 0x7FFFFFFF
 
 # device capacity knobs (overflow => host fallback, never wrong answers)
-ACAP = 1024      # entry arena slots per read
+ACAP = 256       # default entry arena slots per read (see make_config:
+                 # wide search budgets get 1024); overflow -> host
+                 # fallback. Swept on-chip (16k reads, 32Mbp, best-of-3,
+                 # device-only): 1024->3.9k, 384->4.4k, 256->4.7k reads/s
+                 # (argmin + stack kernel scale with the arena),
+                 # 192 -> overflow collapse.
 HCAP = 64        # max hits recorded per read
 MAX_ITERS = 16384
 MAX_SEQ = 0xFFFFF  # seqno field width in the priority key
@@ -82,6 +87,7 @@ class EngineConfig:
     max_entries: int
     max_seed_diff: int
     iter_cap: int     # per-read device step budget (tail -> host search)
+    acap: int         # entry arena slots per read
     pallas_stack: bool  # fused Pallas stack-update kernel (TPU only)
     gape_mode: bool   # BWA_MODE_GAPE
     nonstop: bool     # BWA_MODE_NONSTOP
@@ -451,7 +457,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
            else stack_kernel.stack_update_xla)
     key, sk, sl_, sm1, sm2, ovf, npush = upd(
         slot0, act, cv, ofs, kv, ck_, cl_, cm1, cm2,
-        key, sk, sl_, sm1, sm2, acap=ACAP)
+        key, sk, sl_, sm1, sm2, acap=cfg.acap)
     fb = fb | ovf
     seqc = seqc + npush
     stack_n = stack_n + npush
@@ -479,12 +485,12 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     w = jnp.concatenate([w, sw], axis=2)
     bid = jnp.concatenate([bid, sbid], axis=2)
 
-    # stack planes (flat [B, ACAP] per field; see _search_step docstring)
-    sk = jnp.zeros((B, ACAP), dtype=U32)
-    sl_ = jnp.zeros((B, ACAP), dtype=U32)
-    sm1 = jnp.zeros((B, ACAP), dtype=U32)
-    sm2 = jnp.zeros((B, ACAP), dtype=U32)
-    key = jnp.full((B, ACAP), INT32_MAX, dtype=I32)
+    # stack planes (flat [B, acap] per field; see _search_step docstring)
+    sk = jnp.zeros((B, cfg.acap), dtype=U32)
+    sl_ = jnp.zeros((B, cfg.acap), dtype=U32)
+    sm1 = jnp.zeros((B, cfg.acap), dtype=U32)
+    sm2 = jnp.zeros((B, cfg.acap), dtype=U32)
+    key = jnp.full((B, cfg.acap), INT32_MAX, dtype=I32)
     # roots in slots 0/1: (a=0, seq 0) then (a=1, seq 1) — a=1 pops first
     sl_ = sl_.at[:, 0].set(seq_len).at[:, 1].set(seq_len)
     m1_root = lambda a: _pack_m1(
@@ -646,9 +652,9 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     # lane state starts "pre-first-read": rid = rows - B, everything done,
     # so the first switch() performs the initial load (rid<0 rows drop)
     zb = jnp.zeros((B,), I32)
-    zu = jnp.zeros((B, ACAP), U32)
+    zu = jnp.zeros((B, cfg.acap), U32)
     st0 = (rows.astype(I32) - B, zb + 1, jnp.zeros((B,), bool), zb,
-           zu, zu, zu, zu, jnp.full((B, ACAP), INT32_MAX, I32),
+           zu, zu, zu, zu, jnp.full((B, cfg.acap), INT32_MAX, I32),
            zb + 2, zb,
            jnp.zeros((B, 2, cfg.L + cfg.SL + 2), U32),
            jnp.zeros((B, 2, cfg.L + cfg.SL + 2), I32),
@@ -679,7 +685,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     return hits, out_nh, out_fb, st[22]
 
 
-def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
+def make_config(L: int, max_diff_hi: int, opt: GapOpt,
+                seq_len: int = 0) -> EngineConfig:
     """Static compile-time search parameters for a read batch."""
     nb = aln_score(max_diff_hi + 1, opt.max_gapo + 1, opt.max_gape + 1,
                    opt) + 1
@@ -692,6 +699,12 @@ def make_config(L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
         max_entries=min(opt.max_entries, INT32_MAX),
         max_seed_diff=opt.max_seed_diff,
         iter_cap=ITER_CAP,
+        # narrow default budgets on big genomes fit the small fast arena;
+        # wide budgets (more diffs/gap opens, nonstop) and small genomes
+        # (wide SA intervals) fan out far more entries
+        acap=(ACAP if max_diff_hi <= 5 and opt.max_gapo <= 1
+              and not (opt.mode & BWA_MODE_NONSTOP)
+              and seq_len >= (1 << 22) else max(ACAP, 1024)),
         pallas_stack=(PALLAS_STACK if PALLAS_STACK is not None
                       else jax.default_backend() != "cpu"),
         gape_mode=bool(opt.mode & BWA_MODE_GAPE),
@@ -711,7 +724,7 @@ class JaxAlnEngine:
                       "iterations": 0}
 
     def _config(self, L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
-        return make_config(L, max_diff_hi, opt)
+        return make_config(L, max_diff_hi, opt, seq_len=self.dfm.seq_len)
 
     def align_batch(self, seqs: list[np.ndarray], rseqs: list[np.ndarray],
                     opt: GapOpt) -> list[list[Hit]]:
