@@ -177,7 +177,8 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
      sk, sl_, sm1, sm2, key, seqc, stack_n,
      w, bid,
      hk, hl, hm, n_hits,
-     best_score, best_cnt, max_diff, done, fb, it) = st
+     best_score, best_cnt, max_diff, done, fb, it,
+     pslot, pkey, pk, pl, pm1, pm2) = st
     B = lens.shape[0]
     rows = jnp.arange(B)
     seq_len_u = jnp.uint32(fm.seq_len)
@@ -195,13 +196,15 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     fb = fb | (act & (lane_it > cfg.iter_cap))
     act = act & (lane_it <= cfg.iter_cap)
 
-    # ---- pop: min (score, -push_seqno) == gap_pop (bwtgap.c:66-79) ----
-    slot0 = jnp.argmin(key, axis=1).astype(I32)
-    e_k = sk[rows, slot0]
-    e_l = sl_[rows, slot0]
-    m1 = sm1[rows, slot0]
-    m2 = sm2[rows, slot0]
-    e_score = key[rows, slot0] >> 20
+    # ---- pop: min (score, -push_seqno) == gap_pop (bwtgap.c:66-79);
+    # the argmin + entry words were computed by the previous step's
+    # stack kernel while the planes were in VMEM (carried in the state)
+    slot0 = pslot
+    e_k = pk
+    e_l = pl
+    m1 = pm1
+    m2 = pm2
+    e_score = pkey >> 20
     stack_n = stack_n - act.astype(I32)
     e_state = (m1 & 3).astype(I32)
     e_a = ((m1 >> 2) & 1).astype(I32)
@@ -455,7 +458,8 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     kv = (sc << 20) | (MAX_SEQ - (seqc[:, None] + ofs))
     upd = (stack_kernel.stack_update if cfg.pallas_stack
            else stack_kernel.stack_update_xla)
-    key, sk, sl_, sm1, sm2, ovf, npush = upd(
+    (key, sk, sl_, sm1, sm2, ovf, npush,
+     pslot, pkey, pk, pl, pm1, pm2) = upd(
         slot0, act, cv, ofs, kv, ck_, cl_, cm1, cm2,
         key, sk, sl_, sm1, sm2, acap=cfg.acap)
     fb = fb | ovf
@@ -467,7 +471,8 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
             sk, sl_, sm1, sm2, key, seqc, stack_n,
             w, bid,
             hk, hl, hm, n_hits,
-            best_score, best_cnt, max_diff, done, fb, it)
+            best_score, best_cnt, max_diff, done, fb, it,
+            pslot, pkey, pk, pl, pm1, pm2)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -519,7 +524,10 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
           sk, sl_, sm1, sm2, key, seqc, stack_n,
           w, bid,
           hk, hl, hm, n_hits,
-          best_score, best_cnt, max_diff0, done, fb, it)
+          best_score, best_cnt, max_diff0, done, fb, it,
+          jnp.ones((B,), I32), jnp.full((B,), MAX_SEQ - 1, I32),
+          jnp.zeros((B,), U32), jnp.full((B,), seq_len, U32),
+          m1_root(1), jnp.zeros((B,), U32))
 
     def cond(st):
         done, fb, it = st[20], st[21], st[22]
@@ -533,14 +541,19 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
      sk, sl_, sm1, sm2, key, seqc, stack_n,
      w, bid,
      hk, hl, hm, n_hits,
-     best_score, best_cnt, max_diff, done, fb, it) = st
+     best_score, best_cnt, max_diff, done, fb, it,
+     pslot, pkey, pk, pl, pm1, pm2) = st
     fb = fb | (~done)   # iteration bound hit
     hits = jnp.stack([hm, hk, hl], axis=-1)
     return hits, n_hits, fb, it
 
 
 PALLAS_STACK = None  # None = auto (on for TPU backends)
-E_UNROLL = 8     # exact-extension bases consumed per E pop
+E_UNROLL = 2     # exact-extension bases consumed per E pop. Swept 1-16
+                 # on-chip with the kernel-fused pop: 2 -> 6.1k reads/s,
+                 # 3/4 -> 5.9k, 8 -> 4.7k, 1 -> 4.6k (ITER_CAP fallback
+                 # spikes). Each unroll iteration is one serial occ
+                 # gather; chains longer than E_UNROLL simply re-pop.
 ITER_CAP = 384    # pushes before a read is routed to the host emulator
 SWITCH_K = 16    # search steps between lane-switch phases
 
@@ -586,7 +599,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
          sk, sl_, sm1, sm2, key, seqc, stack_n,
          w, bid,
          hk, hl, hm, n_hits,
-         best_score, best_cnt, max_diff, done, fb, it) = st
+         best_score, best_cnt, max_diff, done, fb, it,
+         pslot, pkey, pk, pl, pm1, pm2) = st
 
         fin = done | fb
         valid = (rid >= 0) & (rid < N) & fin
@@ -633,6 +647,15 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
                      lens_l, zeros_b), mode="drop")
         seqc = jnp.where(load, 2, seqc)
         stack_n = jnp.where(load, 2, stack_n)
+        # fresh lanes pop the slot-1 root (a=1 strand) first
+        pslot = jnp.where(load, 1, pslot)
+        pkey = jnp.where(load, MAX_SEQ - 1, pkey)
+        pk = jnp.where(load, jnp.uint32(0), pk)
+        pl = jnp.where(load, jnp.uint32(seq_len), pl)
+        pm1 = jnp.where(load, _pack_m1(
+            jnp.full((B,), STATE_M, I32), jnp.ones((B,), I32), lens_l,
+            jnp.zeros((B,), I32)), pm1)
+        pm2 = jnp.where(load, jnp.uint32(0), pm2)
         lane_it = jnp.where(load, 0, lane_it)
         n_hits = jnp.where(load, 0, n_hits)
         best_score = jnp.where(
@@ -646,7 +669,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
               sk, sl_, sm1, sm2, key, seqc, stack_n,
               w, bid,
               hk, hl, hm, n_hits,
-              best_score, best_cnt, max_diff, done, fb, it)
+              best_score, best_cnt, max_diff, done, fb, it,
+              pslot, pkey, pk, pl, pm1, pm2)
         return (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st)
 
     # lane state starts "pre-first-read": rid = rows - B, everything done,
@@ -661,7 +685,9 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
            jnp.zeros((B, HCAP), U32), jnp.zeros((B, HCAP), U32),
            jnp.zeros((B, HCAP), U32), zb,
            zb, zb, zb, jnp.ones((B,), bool), jnp.zeros((B,), bool),
-           jnp.zeros((), I32))
+           jnp.zeros((), I32),
+           zb, zb, jnp.zeros((B,), U32), jnp.zeros((B,), U32),
+           jnp.zeros((B,), U32), jnp.zeros((B,), U32))
     carry = (jnp.asarray(N, I32), out_hk, out_hl, out_hm, out_nh, out_fb,
              st0)
 

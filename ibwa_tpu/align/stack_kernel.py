@@ -45,7 +45,8 @@ def _kernel(slot0_ref, act_ref, cv_ref, ofs_ref, kv_ref,
             ck_ref, cl_ref, cm1_ref, cm2_ref,
             key_ref, sk_ref, sl_ref, sm1_ref, sm2_ref,
             okey_ref, osk_ref, osl_ref, osm1_ref, osm2_ref,
-            ovf_ref, npush_ref):
+            ovf_ref, npush_ref,
+            pslot_ref, pkey_ref, pk_ref, pl_ref, pm1_ref, pm2_ref):
     key = key_ref[:]
     acap = key.shape[1]
     li = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
@@ -88,6 +89,27 @@ def _kernel(slot0_ref, act_ref, cv_ref, ofs_ref, kv_ref,
     ovf_ref[:] = ovf
     npush_ref[:] = npush
 
+    # fused pop for the NEXT step: per-row argmin of the updated key
+    # plane + the entry words at that slot, all while the planes are
+    # still in VMEM (saves an argmin + five [B]-row gathers per step)
+    minv = jnp.min(key, axis=1, keepdims=True)
+    ismin = (key == minv).astype(jnp.int32)
+    sel = (ismin > 0) & (_lane_cumsum(ismin, acap) == 1)  # first match
+    pslot_ref[:] = jnp.sum(jnp.where(sel, li, 0), axis=1, keepdims=True)
+    pkey_ref[:] = minv
+
+    def onehot_u32(v):
+        # unsigned reductions are unsupported in Mosaic: bitcast through
+        # int32 (exact — exactly one non-zero term survives the mask)
+        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+        s = jnp.sum(jnp.where(sel, vi, 0), axis=1, keepdims=True)
+        return jax.lax.bitcast_convert_type(s, jnp.uint32)
+
+    pk_ref[:] = onehot_u32(sk)
+    pl_ref[:] = onehot_u32(sl)
+    pm1_ref[:] = onehot_u32(sm1)
+    pm2_ref[:] = onehot_u32(sm2)
+
 
 @functools.partial(jax.jit, static_argnames=("acap",))
 def stack_update(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
@@ -121,7 +143,9 @@ def stack_update(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
                   chspec(), chspec(), chspec(), chspec(),
                   plane(), plane(), plane(), plane(), plane()],
         out_specs=[plane(), plane(), plane(), plane(), plane(),
-                   colspec(), colspec()],
+                   colspec(), colspec(),
+                   colspec(), colspec(), colspec(), colspec(), colspec(),
+                   colspec()],
         out_shape=[
             jax.ShapeDtypeStruct((B, acap), jnp.int32),
             jax.ShapeDtypeStruct((B, acap), jnp.uint32),
@@ -130,6 +154,12 @@ def stack_update(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
             jax.ShapeDtypeStruct((B, acap), jnp.uint32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1), jnp.uint32),
         ],
         input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4},
     )(col(slot0, jnp.int32), col(act, jnp.int32),
@@ -137,8 +167,11 @@ def stack_update(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
       pad(kv.astype(jnp.int32)),
       pad(ck), pad(cl), pad(cm1), pad(cm2),
       key, sk, sl, sm1, sm2)
-    key2, sk2, sl2, sm12, sm22, ovf, npush = out
-    return key2, sk2, sl2, sm12, sm22, ovf[:, 0] > 0, npush[:, 0]
+    (key2, sk2, sl2, sm12, sm22, ovf, npush,
+     p_slot, p_key, p_k, p_l, p_m1, p_m2) = out
+    return (key2, sk2, sl2, sm12, sm22, ovf[:, 0] > 0, npush[:, 0],
+            p_slot[:, 0], p_key[:, 0], p_k[:, 0], p_l[:, 0], p_m1[:, 0],
+            p_m2[:, 0])
 
 
 def stack_update_xla(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
@@ -162,4 +195,8 @@ def stack_update_xla(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
         sl = jnp.where(m, cl[:, j:j + 1], sl)
         sm1 = jnp.where(m, cm1[:, j:j + 1], sm1)
         sm2 = jnp.where(m, cm2[:, j:j + 1], sm2)
-    return key, sk, sl, sm1, sm2, ovf, npush
+    rows = jnp.arange(B)
+    pslot = jnp.argmin(key, axis=1).astype(jnp.int32)
+    return (key, sk, sl, sm1, sm2, ovf, npush,
+            pslot, key[rows, pslot], sk[rows, pslot], sl[rows, pslot],
+            sm1[rows, pslot], sm2[rows, pslot])
