@@ -156,6 +156,19 @@ def _compute_widths(fm: DeviceFmPair, seqs, lens, Lw: int):
     return w, bid
 
 
+def _pack_meta(w, bid):
+    """Pop-time width summary, one u32 per position: bid[i-1] (14b) |
+    bid[i] << 14 | (w[i-1] == w[i]) << 28, with position 0 clamping
+    i-1 to 0 (matching the gather's max(i-1, 0)).  The pop only ever
+    consumes these three facts, so one [B,2]-position gather of this
+    plane replaces two [B,4]-position gathers of w/bid (the largest
+    single per-step cost after the stack kernel on v5e)."""
+    wp = jnp.concatenate([w[..., :1], w[..., :-1]], axis=-1)
+    bp = jnp.concatenate([bid[..., :1], bid[..., :-1]], axis=-1)
+    return (bp.astype(U32) | (bid.astype(U32) << 14)
+            | ((wp == w).astype(U32) << 28))
+
+
 def _sel4(c, table):
     """table[..., c] via arithmetic select (avoids slow tiny gathers)."""
     out = jnp.zeros(c.shape, table.dtype)
@@ -175,7 +188,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     """
     (rid, lens, has_seed, lane_it,
      sk, sl_, sm1, sm2, key, seqc, stack_n,
-     w, bid,
+     w, bid, meta,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it,
      pslot, pkey, pk, pl, pm1, pm2) = st
@@ -234,22 +247,23 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     l2b = fm.L2[:4][None, :]
     kj = l2b + cnt_k + 1                             # [B, 4]
     lj = l2b + cnt_l
-    # width/bid lookups at (i2-1, i2) + seed lookups: the seed tables are
-    # concatenated after the main ones on the position axis, so each
-    # plane needs ONE [B,4]-position gather (gathers are latency-bound,
-    # so 2 gathers of 4 positions beat 4 gathers of 2)
+    # width/bid facts at (i2-1, i2) + seed equivalents: precomputed into
+    # the packed meta plane (main table then seed table on the position
+    # axis), so the pop needs ONE [B,2]-position gather
     ii = i2 - (lens - cfg.SL)
-    iim1 = jnp.clip(ii - 1, 0, cfg.SL)
     ii_c = jnp.clip(ii, 0, cfg.SL)
     SOFF = cfg.L + 1
-    pos4 = jnp.stack([jnp.maximum(i2 - 1, 0), i2,
-                      iim1 + SOFF, ii_c + SOFF], axis=-1)
+    pos2 = jnp.stack([i2, ii_c + SOFF], axis=-1)
     r2 = rows[:, None]
     a2 = e_a[:, None]
-    wg = w[r2, a2, pos4]
-    bg = bid[r2, a2, pos4]
-    wm1, w0_, swm1, sw0 = wg[:, 0], wg[:, 1], wg[:, 2], wg[:, 3]
-    bm1, b0_, sbm1, sb0 = bg[:, 0], bg[:, 1], bg[:, 2], bg[:, 3]
+    mg = meta[r2, a2, pos2]
+    mm_, ms_ = mg[:, 0], mg[:, 1]
+    bm1 = (mm_ & 0x3FFF).astype(I32)
+    b0_ = ((mm_ >> 14) & 0x3FFF).astype(I32)
+    weq = (mm_ >> 28) & 1
+    sbm1 = (ms_ & 0x3FFF).astype(I32)
+    sb0 = ((ms_ >> 14) & 0x3FFF).astype(I32)
+    sweq = (ms_ >> 28) & 1
     base = seqs[rid, e_a, i2].astype(I32)            # read base (both paths)
 
     # ---- normal entry: budget + D(i) width pruning ----
@@ -313,20 +327,21 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     w = jnp.where(upd & (w > x[:, None, None]), w - x[:, None, None],
                   jnp.where(meq, seq_len_u - j.astype(U32), w))
     bid = jnp.where(meq, 1, bid)
+    meta = _pack_meta(w, bid)   # cheap full-plane elementwise refresh
 
     # ---- expansion (bwtgap.c:198-258) ----
     occv = e_l - e_k + 1
 
     # allow_diff / allow_m from widths + seed widths
     ad1 = bm1 > m - 1
-    am1 = ~ad1 & (bm1 == m - 1) & (b0_ == m - 1) & (wm1 == w0_)
+    am1 = ~ad1 & (bm1 == m - 1) & (b0_ == m - 1) & (weq == 1)
     m_seed = cfg.max_seed_diff - (e_nmm + e_gapo)
     if cfg.gape_mode:
         m_seed = m_seed - e_gape
     sgate = has_seed & (ii > 0)
     ad2 = sgate & (sbm1 > m_seed - 1)
     am2 = sgate & ~(sbm1 > m_seed - 1) & (sbm1 == m_seed - 1) \
-        & (sb0 == m_seed - 1) & (swm1 == sw0)
+        & (sb0 == m_seed - 1) & (sweq == 1)
     at_end = i2 == 0
     allow_diff = at_end | (~ad1 & ~ad2)
     allow_m = at_end | (~am1 & ~am2)
@@ -469,7 +484,7 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     it = it + 1
     return (rid, lens, has_seed, lane_it,
             sk, sl_, sm1, sm2, key, seqc, stack_n,
-            w, bid,
+            w, bid, meta,
             hk, hl, hm, n_hits,
             best_score, best_cnt, max_diff, done, fb, it,
             pslot, pkey, pk, pl, pm1, pm2)
@@ -489,6 +504,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     sw, sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
     w = jnp.concatenate([w, sw], axis=2)
     bid = jnp.concatenate([bid, sbid], axis=2)
+    meta = _pack_meta(w, bid)
 
     # stack planes (flat [B, acap] per field; see _search_step docstring)
     sk = jnp.zeros((B, cfg.acap), dtype=U32)
@@ -522,7 +538,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     lane_it = jnp.zeros((B,), I32)
     st = (rid, lens, has_seed, lane_it,
           sk, sl_, sm1, sm2, key, seqc, stack_n,
-          w, bid,
+          w, bid, meta,
           hk, hl, hm, n_hits,
           best_score, best_cnt, max_diff0, done, fb, it,
           jnp.ones((B,), I32), jnp.full((B,), MAX_SEQ - 1, I32),
@@ -530,7 +546,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
           m1_root(1), jnp.zeros((B,), U32))
 
     def cond(st):
-        done, fb, it = st[20], st[21], st[22]
+        done, fb, it = st[21], st[22], st[23]
         return jnp.any(~done & ~fb) & (it < MAX_ITERS)
 
     def body(st):
@@ -539,7 +555,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     st = jax.lax.while_loop(cond, body, st)
     (rid, lens, has_seed, lane_it,
      sk, sl_, sm1, sm2, key, seqc, stack_n,
-     w, bid,
+     w, bid, meta,
      hk, hl, hm, n_hits,
      best_score, best_cnt, max_diff, done, fb, it,
      pslot, pkey, pk, pl, pm1, pm2) = st
@@ -584,6 +600,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     big_sw, big_sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
     big_w = jnp.concatenate([big_w, big_sw], axis=2)
     big_bid = jnp.concatenate([big_bid, big_sbid], axis=2)
+    big_meta = _pack_meta(big_w, big_bid)
 
     out_hk = jnp.zeros((N, HCAP), dtype=U32)
     out_hl = jnp.zeros((N, HCAP), dtype=U32)
@@ -597,7 +614,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         (remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st) = carry
         (rid, lens_l, hs_l, lane_it,
          sk, sl_, sm1, sm2, key, seqc, stack_n,
-         w, bid,
+         w, bid, meta,
          hk, hl, hm, n_hits,
          best_score, best_cnt, max_diff, done, fb, it,
          pslot, pkey, pk, pl, pm1, pm2) = st
@@ -627,6 +644,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
         l3 = load[:, None, None]
         w = jnp.where(l3, big_w[crid], w)
         bid = jnp.where(l3, big_bid[crid], bid)
+        meta = jnp.where(l3, big_meta[crid], meta)
 
         lrow = jnp.where(load, rows, B)
         key = jnp.where(load[:, None], INT32_MAX, key)
@@ -667,7 +685,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
 
         st = (rid, lens_l, hs_l, lane_it,
               sk, sl_, sm1, sm2, key, seqc, stack_n,
-              w, bid,
+              w, bid, meta,
               hk, hl, hm, n_hits,
               best_score, best_cnt, max_diff, done, fb, it,
               pslot, pkey, pk, pl, pm1, pm2)
@@ -682,6 +700,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
            zb + 2, zb,
            jnp.zeros((B, 2, cfg.L + cfg.SL + 2), U32),
            jnp.zeros((B, 2, cfg.L + cfg.SL + 2), I32),
+           jnp.zeros((B, 2, cfg.L + cfg.SL + 2), U32),
            jnp.zeros((B, HCAP), U32), jnp.zeros((B, HCAP), U32),
            jnp.zeros((B, HCAP), U32), zb,
            zb, zb, zb, jnp.ones((B,), bool), jnp.zeros((B,), bool),
@@ -692,7 +711,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
              st0)
 
     def cond(carry):
-        return (carry[0] > 0) & (carry[6][22] < MAX_ITERS * 8)
+        return (carry[0] > 0) & (carry[6][23] < MAX_ITERS * 8)
 
     def body(carry):
         carry = switch(carry)
@@ -708,7 +727,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     remaining, out_hk, out_hl, out_hm, out_nh, out_fb, st = carry
     out_fb = out_fb | (remaining > 0)  # iteration-bound hit: all fall back
     hits = jnp.stack([out_hm, out_hk, out_hl], axis=-1)
-    return hits, out_nh, out_fb, st[22]
+    return hits, out_nh, out_fb, st[23]
 
 
 def make_config(L: int, max_diff_hi: int, opt: GapOpt,
