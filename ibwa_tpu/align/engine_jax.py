@@ -66,7 +66,25 @@ HCAP = 64        # max hits recorded per read
 MAX_ITERS = 16384
 MAX_SEQ = 0xFFFFF  # seqno field width in the priority key
 DEV_BATCH = 1024   # persistent device lanes per dispatch
-PERSIST_N = 32768  # reads streamed through the lanes per dispatch
+PERSIST_N = 2048   # reads streamed through the lanes per dispatch; chunks
+                   # are dispatched back-to-back so chunk i's host-side
+                   # fallback + decode overlap chunk i+1's device time.
+                   # Swept end-to-end on-chip (16k reads, 32Mbp): 1024 ->
+                   # 6.1k, 2048 -> 7.1k, 4096 -> 6.7k, 8192 -> 6.2k
+                   # reads/s (small chunks pay lane-drain iterations, big
+                   # chunks lose fallback/decode overlap).
+
+_FB_POOL = None
+
+
+def _fallback_pool():
+    """Single-worker pool for the native heavy-tail fallback (the C++
+    search is OpenMP-parallel internally, so one worker suffices)."""
+    global _FB_POOL
+    if _FB_POOL is None:
+        import concurrent.futures
+        _FB_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    return _FB_POOL
 
 
 @dataclasses.dataclass(frozen=True)
@@ -800,7 +818,12 @@ class JaxAlnEngine:
         SL = cfg.SL
 
         out: list[list[Hit] | None] = [None] * n_reads
-        fb_idx: list[int] = []
+        # Dispatch every chunk up front (JAX dispatch is async: the device
+        # executes them back-to-back while the host decodes + runs the
+        # native heavy-tail fallback in a background thread — ctypes
+        # releases the GIL, so the C++ OpenMP search truly overlaps the
+        # next chunk's device time).
+        pending = []
         for lo in range(0, n_reads, PERSIST_N):
             hi = min(lo + PERSIST_N, n_reads)
             B = hi - lo
@@ -826,7 +849,7 @@ class JaxAlnEngine:
                     ssq[b, 0] = s[n - SL:n]
                     ssq[b, 1] = r[n - SL:n]
                 bad[b] = int((s > 3).sum()) > int(max_diff[lo + b])
-            harr, n_hits, fb, it = _run_search_persistent(
+            res = _run_search_persistent(
                 cfg, self.dfm.blocks, self.dfm.L2,
                 self.dfm.l2diff, self.dfm.primary,
                 jnp.asarray(sq), jnp.asarray(p_lens),
@@ -834,35 +857,49 @@ class JaxAlnEngine:
                 jnp.asarray(ssq), jnp.asarray(bad),
                 seq_len=self.dfm.seq_len, n_blk=self.dfm.n_blk,
                 n_lanes=DEV_BATCH)
-            harr = np.asarray(harr)
-            n_hits = np.asarray(n_hits)
-            fb = np.asarray(fb)
-            self.stats["iterations"] += int(it)
-            for b in range(B):
-                if fb[b]:
-                    fb_idx.append(lo + b)
-                    continue
-                hits = []
-                for t in range(int(n_hits[b])):
-                    meta = int(harr[b, t, 0])
-                    nmm = meta & 0xFF
-                    gapo = (meta >> 8) & 0xFF
-                    gape = (meta >> 16) & 0xFF
-                    hits.append(Hit(
-                        n_mm=nmm, n_gapo=gapo, n_gape=gape,
-                        a=(meta >> 24) & 1, k=int(harr[b, t, 1]),
-                        l=int(harr[b, t, 2]),
-                        score=nmm * opt.s_mm + gapo * opt.s_gapo
-                        + gape * opt.s_gape))
-                out[lo + b] = hits
+            pending.append((lo, hi, res))
 
-        self.stats["device_reads"] += n_reads - len(fb_idx)
-        self.stats["fallback_reads"] += len(fb_idx)
-        if fb_idx:
-            fb_hits = native_align_batch(
-                self.fms, [seqs[i] for i in fb_idx],
-                [rseqs[i] for i in fb_idx], opt)
-            for i, h in zip(fb_idx, fb_hits):
+        fb_jobs: list[tuple[list[int], object]] = []
+        n_fb = 0
+        for lo, hi, (harr, n_hits, fb, it) in pending:
+            B = hi - lo
+            harr = np.asarray(harr)[:B]
+            nh = np.asarray(n_hits)[:B].tolist()
+            fb = np.asarray(fb)[:B]
+            self.stats["iterations"] += int(it)
+            chunk_fb = np.nonzero(fb)[0]
+            if len(chunk_fb):
+                idxs = [lo + int(b) for b in chunk_fb]
+                n_fb += len(idxs)
+                fut = _fallback_pool().submit(
+                    native_align_batch, self.fms,
+                    [seqs[i] for i in idxs], [rseqs[i] for i in idxs], opt)
+                fb_jobs.append((idxs, fut))
+            # vectorized decode: mask down to the valid hit slots, unpack
+            # the fields in numpy, convert to Python lists once (C-speed),
+            # then build the per-read Hit objects
+            nh_arr = np.where(fb, 0, np.asarray(nh, dtype=np.int64))
+            valid = np.arange(harr.shape[1])[None, :] < nh_arr[:, None]
+            vh = harr[valid].astype(np.int64)  # [T, 3] read-major
+            meta = vh[:, 0]
+            nmm, gapo, gape = meta & 0xFF, (meta >> 8) & 0xFF, \
+                (meta >> 16) & 0xFF
+            flat = np.stack(
+                [nmm, gapo, gape, (meta >> 24) & 1, vh[:, 1], vh[:, 2],
+                 nmm * opt.s_mm + gapo * opt.s_gapo + gape * opt.s_gape],
+                axis=-1).tolist()
+            fbl = fb.tolist()
+            start = 0
+            for b, n in enumerate(nh_arr.tolist()):
+                end = start + n
+                if not fbl[b]:
+                    out[lo + b] = [Hit(*c) for c in flat[start:end]]
+                start = end
+
+        self.stats["device_reads"] += n_reads - n_fb
+        self.stats["fallback_reads"] += n_fb
+        for idxs, fut in fb_jobs:
+            for i, h in zip(idxs, fut.result()):
                 out[i] = h
         return out  # type: ignore[return-value]
 
