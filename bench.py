@@ -21,6 +21,9 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
+# persistent XLA compile cache: the engine configs take minutes to
+# compile; reuse across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
 WORK = REPO / ".bench"
 GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
 N_READS = 16384
