@@ -90,6 +90,19 @@ def test_device_engine_parity(small_index, case, monkeypatch):
     assert eng.stats["fallback_reads"] <= len(seqs) // 10
 
 
+def test_chunked_pipeline_parity(small_index, monkeypatch):
+    """Multi-chunk dispatch (PERSIST_N < n_reads) must merge chunk
+    results and background-fallback futures back in read order."""
+    fms, seq = small_index
+    opt = CASES["default"]
+    seqs, rseqs = _make_reads(seq)
+    ref = engine_ref.align_batch(fms, seqs, rseqs, opt)
+    monkeypatch.setattr(engine_jax, "ITER_CAP", 1 << 30)  # reuse compile
+    monkeypatch.setattr(engine_jax, "PERSIST_N", 16)      # 40 reads -> 3 chunks
+    got = engine_jax.JaxAlnEngine(fms).align_batch(seqs, rseqs, opt)
+    assert got == ref
+
+
 def test_variable_lengths(small_index):
     fms, seq = small_index
     rng = random.Random(1)
