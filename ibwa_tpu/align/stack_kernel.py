@@ -122,6 +122,10 @@ def stack_update(slot0, act, cv, ofs, kv, ck, cl, cm1, cm2,
     """
     B = slot0.shape[0]
     rows = min(ROWS, B)
+    if B % rows:
+        raise ValueError(
+            f"stack_update: lane count B={B} must be a multiple of {rows} "
+            f"(trailing rows would silently never be processed)")
     grid = (B // rows,)
 
     def pad(x):

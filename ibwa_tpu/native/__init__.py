@@ -21,12 +21,31 @@ _lock = threading.Lock()
 _lib = None
 
 
+def _build_stamp() -> str:
+    """Host/compiler fingerprint: -march=native output is CPU-specific, so a
+    prebuilt .so carried to another host (or a toolchain change) must not be
+    reused — it can SIGILL at load."""
+    import platform
+    try:
+        ver = subprocess.run(["g++", "--version"], capture_output=True,
+                             text=True).stdout.splitlines()[0]
+    except Exception:
+        ver = "g++-unknown"
+    return f"{platform.machine()}|{platform.node()}|{ver}"
+
+
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
         _SRC, "-o", _LIB,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            f"native build failed ({' '.join(cmd)}):\n{e.stderr}") from e
+    with open(_LIB + ".stamp", "w") as fh:
+        fh.write(_build_stamp())
 
 
 def load() -> ctypes.CDLL:
@@ -34,7 +53,10 @@ def load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
+        stamp_path = _LIB + ".stamp"
+        stamp_ok = (os.path.exists(stamp_path)
+                    and open(stamp_path).read() == _build_stamp())
+        if (not os.path.exists(_LIB) or not stamp_ok
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             _build()
         lib = ctypes.CDLL(_LIB)
