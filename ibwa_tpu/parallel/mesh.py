@@ -16,6 +16,8 @@ a slice and DCN across hosts.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,9 +39,13 @@ def shard_inputs(mesh: Mesh, dfm: DeviceFmPair, arrays: tuple):
     """Place the index replicated and the read batch sharded over dp."""
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("dp"))
-    fm_args = tuple(jax.device_put(jnp.asarray(a), repl)
+    # device_put straight from host memory (jnp.asarray would bounce the
+    # buffers through the default backend when the mesh is on another one)
+    put = lambda a, s: a if (isinstance(a, jax.Array)
+                             and a.sharding == s) else jax.device_put(a, s)
+    fm_args = tuple(put(a, repl)
                     for a in (dfm.blocks, dfm.L2, dfm.l2diff, dfm.primary))
-    batch = tuple(jax.device_put(jnp.asarray(a), shard) for a in arrays)
+    batch = tuple(put(a, shard) for a in arrays)
     return fm_args, batch
 
 
@@ -59,6 +65,27 @@ def run_sharded_search(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs, lens,
             seq_len=dfm.seq_len, n_blk=dfm.n_blk)
 
 
+@functools.lru_cache(maxsize=None)
+def _persistent_sharded_fn(cfg, mesh: Mesh, seq_len: int, n_blk: int,
+                           n_lanes: int):
+    """Compiled per-(config, mesh) sharded persistent search; cached so the
+    production path does not retrace on every chunk dispatch."""
+
+    def local(blocks, L2, l2diff, primary, *b):
+        hits, n_hits, fb, it = engine_jax._run_search_persistent.__wrapped__(
+            cfg, blocks, L2, l2diff, primary, *b,
+            seq_len=seq_len, n_blk=n_blk, n_lanes=n_lanes)
+        return hits, n_hits, fb, it[None]
+
+    repl = P()
+    shard = P("dp")
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, repl, repl, repl) + (shard,) * 6,
+        out_specs=(shard, shard, shard, shard),
+        check_vma=False))
+
+
 def run_sharded_search_persistent(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs,
                                   lens, max_diff, has_seed, seed_seqs, bad,
                                   n_lanes: int):
@@ -72,20 +99,7 @@ def run_sharded_search_persistent(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs,
     same property within a host, bwtaln.c:100-113)."""
     fm_args, batch = shard_inputs(
         mesh, dfm, (seqs, lens, max_diff, has_seed, seed_seqs, bad))
-
-    def local(blocks, L2, l2diff, primary, *b):
-        hits, n_hits, fb, it = engine_jax._run_search_persistent.__wrapped__(
-            cfg, blocks, L2, l2diff, primary, *b,
-            seq_len=dfm.seq_len, n_blk=dfm.n_blk, n_lanes=n_lanes)
-        return hits, n_hits, fb, it[None]
-
-    repl = P()
-    shard = P("dp")
-    fn = jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(repl, repl, repl, repl) + (shard,) * 6,
-        out_specs=(shard, shard, shard, shard),
-        check_vma=False))
+    fn = _persistent_sharded_fn(cfg, mesh, dfm.seq_len, dfm.n_blk, n_lanes)
     return fn(*fm_args, *batch)
 
 
