@@ -14,7 +14,10 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "src", "core.cpp")
+_SRCS = [os.path.join(_HERE, "src", "core.cpp"),
+         os.path.join(_HERE, "src", "pe_stage.cpp"),
+         os.path.join(_HERE, "src", "bsw2.cpp")]
+_SRC = _SRCS[0]
 _LIB = os.path.join(_HERE, "libibwa_native.so")
 
 _lock = threading.Lock()
@@ -37,7 +40,7 @@ def _build_stamp() -> str:
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
-        _SRC, "-o", _LIB,
+        *_SRCS, "-o", _LIB,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -57,7 +60,8 @@ def load() -> ctypes.CDLL:
         stamp_ok = (os.path.exists(stamp_path)
                     and open(stamp_path).read() == _build_stamp())
         if (not os.path.exists(_LIB) or not stamp_ok
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                for s in _SRCS)):
             _build()
         lib = ctypes.CDLL(_LIB)
         u32p = ctypes.POINTER(ctypes.c_uint32)

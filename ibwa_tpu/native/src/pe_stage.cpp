@@ -1,0 +1,1050 @@
+// Native sampe per-read stage: SE selection, PE candidate expansion,
+// pairing sweep and multi-hit selection.
+//
+// This compiles the hot per-read loops of the paired-end SAM stage that the
+// reference runs as threaded C (bwape.c:238-297 + bwapair.c + saiset.c +
+// filter_alignments.cpp) and that ibwa_tpu/sam/sampe.py implements in Python
+// (the semantic source of truth for this file; sampe.py is itself the
+// byte-parity port of the reference).  Python remains the orchestrator:
+// batch I/O, insert-size inference, mate rescue, refinement and SAM text
+// stay in ibwa_tpu/sam/sampe.py; this file only replaces the per-read inner
+// loops (select_sai_ibwa, compute_seq_coords_and_counts, find_optimal_pair,
+// select_sai_multi).
+//
+// Reference parity anchors:
+//   select_sai_ibwa          bwape.c:299-369
+//   compute_seq_coords...    filter_alignments.cpp:53-142
+//   find_optimal_pair        bwapair.c:168-279
+//   select_sai_multi         saiset.c:113-161
+//   alngrp sort+filter       saiset.c:45-78
+//   remap walks              bwaremap.cpp:140-311
+//   bwa_approx_mapQ          bwase.c:111-120
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// FM-index SA walk (duplicated from core.cpp's anonymous namespace)
+// ---------------------------------------------------------------------------
+
+struct InterleavedBwt {
+  const uint32_t* data;
+  uint32_t primary;
+  uint32_t l2[5];
+  uint32_t seq_len;
+};
+
+static uint32_t count_code_prefix(uint32_t word, int c, int nbases) {
+  uint32_t t = word ^ (0x55555555u * (uint32_t)c);
+  t = ~t;
+  t &= t >> 1;
+  t &= 0x55555555u;
+  if (nbases < 16) t &= ~((1u << ((16 - nbases) * 2)) - 1u);
+  return (uint32_t)__builtin_popcount(t);
+}
+
+static uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
+  if (k == 0xFFFFFFFFu) return 0;
+  if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
+  if (k >= b.primary) --k;
+  const uint32_t* blk = b.data + (k / 128) * 12;
+  uint32_t n = blk[c];
+  const uint32_t* w = blk + 4;
+  uint32_t base0 = (k / 128) * 128;
+  uint32_t full_words = (k - base0) / 16;
+  for (uint32_t j = 0; j < full_words; ++j) n += count_code_prefix(w[j], c, 16);
+  n += count_code_prefix(w[full_words], c, (int)(k % 16) + 1);
+  return n;
+}
+
+static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
+  const uint32_t* blk = b.data + (k / 128) * 12 + 4;
+  uint32_t word = blk[(k % 128) / 16];
+  return (int)((word >> (((~k) & 0xF) << 1)) & 3u);
+}
+
+static uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
+  if (k == b.primary) return 0;
+  int c = (k < b.primary) ? bwt_code_at(b, k) : bwt_code_at(b, k - 1);
+  return b.l2[c] + occ1(b, k, c);
+}
+
+struct SaIndex {
+  InterleavedBwt bwt;
+  uint32_t sa_intv;
+  const uint32_t* sampled_sa;
+};
+
+static uint32_t sa_walk(const SaIndex& s, uint32_t k) {
+  uint32_t add = 0;
+  while (k % s.sa_intv != 0) {
+    ++add;
+    k = inv_psi(s.bwt, k);
+  }
+  return add + s.sampled_sa[k / s.sa_intv];
+}
+
+// ---------------------------------------------------------------------------
+// drand48 (exact libc LCG, matches ibwa_tpu/rng.py)
+// ---------------------------------------------------------------------------
+
+static const uint64_t R48_A = 0x5DEECE66DULL;
+static const uint64_t R48_C = 0xBULL;
+static const uint64_t R48_MASK = (1ULL << 48) - 1;
+
+struct Rng {
+  uint64_t x;
+  double next() {
+    x = (R48_A * x + R48_C) & R48_MASK;
+    return (double)x * (1.0 / 281474976710656.0);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Per-db context
+// ---------------------------------------------------------------------------
+
+// remap cigar ops (preprocessed by sam/pe_native.py): same codes as the
+// Python walker's character classes
+enum RmOp { RM_M = 0, RM_X = 1, RM_EQ = 2, RM_N = 3, RM_D = 4, RM_I = 5 };
+
+struct PeDb {
+  SaIndex fwd, rev;       // fwd used for strand!=0, rev for strand==0
+  uint32_t seq_len;       // == bwt seq_len (both strands)
+  int64_t offset;         // global coordinate of base 0
+  int64_t l_pac;
+  int32_t n_seqs;
+  const int64_t* ann_off;
+  const int32_t* ann_len;
+  bool has_remap;
+  int32_t n_remap;        // number of remap records (contigs covered)
+  const int32_t* rm_target;     // target contig index in db 0
+  const uint8_t* rm_exact;
+  const int64_t* rm_start;
+  const int64_t* rm_stop;
+  const int64_t* rm_run_begin;  // [n_remap] offsets into rm_ops/rm_lens
+  const int32_t* rm_run_cnt;
+  const uint8_t* rm_ops;
+  const int32_t* rm_lens;
+};
+
+struct SaiBatch {
+  const int32_t* counts;  // [n_reads]
+  const uint32_t* recs;   // [tot, 4]: meta(nmm|gapo<<8|gape<<16|a<<24), k, l, score
+  std::vector<int64_t> read_off;  // running offset per read (built lazily)
+};
+
+struct PeCtx {
+  std::vector<PeDb> dbs;
+  int remapping = 0;
+  int32_t s_mm = 3;
+  // registered .sai batches: [end][db]
+  SaiBatch sai[2][16];
+  int n_db = 0;
+};
+
+// global position -> local db sa2seq (bwtdb_sa2seq, dbset.c:239-246)
+static int64_t sa2seq(const PeDb& db, int strand, uint32_t sa,
+                      int64_t read_len) {
+  if (strand) return db.offset + (int64_t)sa_walk(db.fwd, sa);
+  int64_t v = (int64_t)sa_walk(db.rev, sa);
+  return db.offset + (int64_t)db.seq_len - (v + read_len);
+}
+
+// bns_seq_for_pos (bntseq.c:278-294) — quirky midpoint binary search
+static int32_t seq_for_pos(const PeDb& db, int64_t pac_coor) {
+  int32_t left = 0, mid = 0, right = db.n_seqs;
+  while (left < right) {
+    mid = (left + right) >> 1;
+    if (pac_coor >= db.ann_off[mid]) {
+      if (mid == db.n_seqs - 1) break;
+      if (pac_coor < db.ann_off[mid + 1]) break;
+      left = mid + 1;
+    } else {
+      right = mid;
+    }
+  }
+  return mid;
+}
+
+// remap_cigar (bwaremap.cpp:188-268): alt offset -> target offset
+static bool remap_cigar_pos(const PeDb& db, int32_t seqid, int64_t pos,
+                            int64_t seqlen, int64_t* out) {
+  if (pos >= seqlen) {
+    fprintf(stderr,
+            "[remap_coordinates] requested pos %lld > sequence length %lld\n",
+            (long long)pos, (long long)seqlen);
+    return false;
+  }
+  const uint8_t* ops = db.rm_ops + db.rm_run_begin[seqid];
+  const int32_t* lens = db.rm_lens + db.rm_run_begin[seqid];
+  int32_t n = db.rm_run_cnt[seqid];
+  int64_t altpos = 0, refpos = 0;
+  int last_op = -1;
+  int64_t last_len = 0;
+  int32_t i = 0;
+  while (altpos <= pos) {
+    if (i >= n) break;
+    last_len = lens[i];
+    last_op = ops[i];
+    ++i;
+    if (last_op == RM_M || last_op == RM_X || last_op == RM_EQ) {
+      refpos += last_len;
+      altpos += last_len;
+    } else if (last_op == RM_N || last_op == RM_D) {
+      refpos += last_len;
+    } else if (last_op == RM_I) {
+      altpos += last_len;
+    } else {
+      fprintf(stderr, "invalid cigar character\n");
+      return false;
+    }
+  }
+  if (altpos > seqlen) return false;
+  if (altpos == pos) {
+    *out = refpos;
+    return true;
+  }
+  if (altpos > pos) {
+    if (last_op == RM_M || last_op == RM_X || last_op == RM_EQ) {
+      *out = refpos - (altpos - pos);
+      return true;
+    }
+    if (last_op == RM_I) {
+      *out = refpos;
+      return true;
+    }
+    return false;
+  }
+  return false;
+}
+
+// is_remapped_sequence_identical (bwaremap.cpp:140-186)
+static int remap_identical(const PeDb& db, int32_t seqid, int64_t start,
+                           int64_t length) {
+  if (db.rm_exact[seqid]) return 1;
+  const uint8_t* ops = db.rm_ops + db.rm_run_begin[seqid];
+  const int32_t* lens = db.rm_lens + db.rm_run_begin[seqid];
+  int32_t n = db.rm_run_cnt[seqid];
+  int64_t pos = 0, last_len = 0;
+  int last_op = -1;
+  int32_t i = 0;
+  while (pos <= start) {
+    if (i >= n) break;
+    last_len = lens[i];
+    last_op = ops[i];
+    ++i;
+    if (last_op == RM_M || last_op == RM_X || last_op == RM_EQ ||
+        last_op == RM_N || last_op == RM_D) {
+      pos += last_len;
+    } else if (last_op == RM_I) {
+      // no position advance
+    } else {
+      return 0;
+    }
+  }
+  if (pos > start) {
+    // uint32 wrap quirk: (last_len - start) compared as uint32
+    return (last_op == RM_M || last_op == RM_EQ) &&
+                   ((uint32_t)(last_len - start) > (uint32_t)length)
+               ? 1
+               : 0;
+  }
+  return 0;
+}
+
+// bwa_remap_position_with_seqid (bwaremap.cpp:277-311); target == db 0
+static int remap_position_with_seqid(const PeCtx& ctx, const PeDb& db,
+                                     int64_t pac_coor, int32_t seqid,
+                                     int64_t* out) {
+  if (seqid >= db.n_remap) {
+    fprintf(stderr, "No read mapping for sequence id %d\n", (int)seqid);
+    exit(1);
+  }
+  int32_t target_idx = db.rm_target[seqid];
+  if (target_idx < 0) {
+    fprintf(stderr, "Failed to locate remapping target\n");
+    exit(1);
+  }
+  int64_t rv;
+  if (!db.rm_exact[seqid]) {
+    int64_t altpos = pac_coor - db.ann_off[seqid];
+    int64_t off;
+    if (!remap_cigar_pos(db, seqid, altpos, (int64_t)db.ann_len[seqid], &off))
+      return 0;
+    rv = db.rm_start[seqid] + off;
+  } else {
+    rv = pac_coor - db.ann_off[seqid];
+  }
+  if (!db.rm_exact[seqid] &&
+      (rv < db.rm_start[seqid] || rv > db.rm_stop[seqid])) {
+    fprintf(stderr,
+            "remapped position out of range (%lld should be in [%lld, %lld])\n",
+            (long long)rv, (long long)db.rm_start[seqid],
+            (long long)db.rm_stop[seqid]);
+    exit(1);
+  }
+  *out = rv + ctx.dbs[0].ann_off[target_idx];
+  return 1;
+}
+
+// the fields do_remap/remap_entry mutate (position_t / bwa_seq_t subset)
+struct RemapIO {
+  int64_t pos;
+  int64_t remapped_pos;
+  int32_t dbidx;
+  int32_t remapped_seqid;
+  int32_t remap_identical;
+  int32_t n_gapo, n_gape;
+  int64_t len;
+};
+
+// __remap (bwape.c:201-219) + the remap macro (bwape.c:223-235)
+static int do_remap(const PeCtx& ctx, RemapIO* p, int dbidx) {
+  p->dbidx = dbidx;
+  const PeDb& db = ctx.dbs[dbidx];
+  if (ctx.remapping) {
+    if (!db.has_remap) {
+      p->remapped_seqid = -1;
+      p->remapped_pos = p->pos;
+      return 1;
+    }
+    int64_t local = p->pos - db.offset;
+    int32_t seqid = seq_for_pos(db, local);
+    p->remapped_seqid = seqid;
+    if (seqid >= db.n_remap) {
+      fprintf(stderr, "No read mapping for sequence id %d\n", (int)seqid);
+      exit(1);
+    }
+    int64_t x = 0;
+    int status = remap_position_with_seqid(ctx, db, local, seqid, &x);
+    p->remapped_pos = status ? x + ctx.dbs[0].offset : 0;
+    int64_t gap = p->n_gapo + p->n_gape;
+    int64_t relpos = local - db.ann_off[seqid];
+    p->remap_identical =
+        remap_identical(db, seqid, relpos > gap ? relpos - gap : 0,
+                        p->len + gap);
+    return status;
+  }
+  p->remapped_pos = p->pos;
+  p->remapped_seqid = -1;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// alignment groups (saiset.c)
+// ---------------------------------------------------------------------------
+
+struct AlnRec {
+  int32_t n_mm, n_gapo, n_gape, a;
+  uint32_t k, l;
+  int32_t score;
+  int32_t dbidx;
+};
+
+// alngrp_create (saiset.c:45-78): merge per-db hits for read `ri` of end
+// `end`, stable-sort by score and filter to best+s_mm when >1 db.
+static void build_group(PeCtx& ctx, int end, int64_t ri,
+                        std::vector<AlnRec>* out) {
+  out->clear();
+  for (int d = 0; d < ctx.n_db; ++d) {
+    SaiBatch& sb = ctx.sai[end][d];
+    int64_t off = sb.read_off[ri];
+    int32_t cnt = sb.counts[ri];
+    for (int32_t t = 0; t < cnt; ++t) {
+      const uint32_t* r = sb.recs + (off + t) * 4;
+      AlnRec a;
+      a.n_mm = (int32_t)(r[0] & 0xFF);
+      a.n_gapo = (int32_t)((r[0] >> 8) & 0xFF);
+      a.n_gape = (int32_t)((r[0] >> 16) & 0xFF);
+      a.a = (int32_t)((r[0] >> 24) & 1);
+      a.k = r[1];
+      a.l = r[2];
+      a.score = (int32_t)r[3];
+      a.dbidx = d;
+      out->push_back(a);
+    }
+  }
+  if (ctx.n_db > 1 && !out->empty()) {
+    std::stable_sort(out->begin(), out->end(),
+                     [](const AlnRec& x, const AlnRec& y) {
+                       return x.score < y.score;
+                     });
+    int32_t best = (*out)[0].score;
+    for (size_t i = 0; i < out->size(); ++i) {
+      if ((*out)[i].score > best + ctx.s_mm) {
+        out->resize(i);
+        break;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// per-end-read scalar state (mirror of the AlnSeq fields the stage touches)
+// ---------------------------------------------------------------------------
+
+// i64 layout per end-read (stride 5)
+enum { F_POS = 0, F_RPOS, F_SA, F_C1, F_C2, NF64 };
+// i32 layout per end-read (stride 12)
+enum {
+  G_TYPE = 0, G_STRAND, G_NMM, G_NGAPO, G_NGAPE, G_SCORE,
+  G_MAPQ, G_SEQ, G_DBIDX, G_RSEQID, G_RIDENT, G_XFLAG, NF32
+};
+
+enum { TYPE_NO_MATCH = 0, TYPE_UNIQUE = 1, TYPE_REPEAT = 2 };
+enum { SAM_FPP = 2 };
+
+struct Seq {
+  int64_t* i64;
+  int32_t* i32;
+  int64_t len;       // clip_len
+  int64_t full_len;
+  int32_t max_diff;
+};
+
+static int g_log_n_tab[256];
+static bool g_log_init = false;
+static void init_g_log_n() {
+  if (g_log_init) return;
+  g_log_n_tab[0] = 0;
+  for (int i = 1; i < 256; ++i)
+    g_log_n_tab[i] = (int)(4.343 * std::log((double)i) + 0.5);
+  g_log_init = true;
+}
+
+// bwa_approx_mapQ (bwase.c:111-120)
+static int approx_mapQ(const Seq& s, int mm) {
+  int64_t c1 = s.i64[F_C1], c2 = s.i64[F_C2];
+  if (c1 == 0) return 23;
+  if (c1 > 1) return 0;
+  if (s.i32[G_NMM] == mm) return 25;
+  if (c2 == 0) return 37;
+  int n = c2 >= 255 ? 255 : (int)c2;
+  return (23 < g_log_n_tab[n]) ? 0 : 23 - g_log_n_tab[n];
+}
+
+static void unmap_read(Seq& s) {
+  s.i32[G_TYPE] = TYPE_NO_MATCH;
+  s.i64[F_POS] = s.i64[F_RPOS] = s.i64[F_SA] = 0;
+  s.i64[F_C1] = s.i64[F_C2] = 0;
+}
+
+// select_sai_ibwa (bwape.c:299-369)
+static void select_sai_ibwa(PeCtx& ctx, const std::vector<AlnRec>& ag,
+                            Seq& s, Rng& rng) {
+  if (ag.empty()) {
+    unmap_read(s);
+    return;
+  }
+  int64_t n = (int64_t)ag.size();
+  int64_t main_idx = 0;
+  bool selected = false;
+  double rng_cache = 0.0;
+  int32_t best = ag[0].score;
+  int64_t cnt = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const AlnRec& p = ag[i];
+    int64_t naln = (int64_t)p.l - (int64_t)p.k + 1;
+    if (p.score > best) break;
+    if (rng.next() * (double)(naln + cnt) > (double)cnt) {
+      main_idx = i;
+      rng_cache = rng.next();
+    }
+    cnt += naln;
+    ++i;
+  }
+  int64_t group_start = main_idx;
+  int64_t top_end = i;
+
+  s.i64[F_C1] = cnt;
+  for (int64_t t = top_end; t < n; ++t)
+    cnt += (int64_t)ag[t].l - (int64_t)ag[t].k + 1;
+  s.i64[F_C2] = cnt - s.i64[F_C1];
+  if (s.i64[F_C1] != 0)
+    s.i32[G_TYPE] = s.i64[F_C1] > 1 ? TYPE_REPEAT : TYPE_UNIQUE;
+
+  while (true) {
+    const AlnRec& p = ag[main_idx];
+    int64_t num = (int64_t)p.l - (int64_t)p.k + 1;
+    int64_t start_idx = (int64_t)(rng_cache * (double)num);
+    int64_t aidx = start_idx;
+    while (true) {
+      s.i64[F_SA] = (int64_t)p.k + aidx;
+      s.i32[G_NMM] = p.n_mm;
+      s.i32[G_NGAPO] = p.n_gapo;
+      s.i32[G_NGAPE] = p.n_gape;
+      s.i32[G_STRAND] = p.a;
+      s.i32[G_SCORE] = p.score;
+      s.i64[F_POS] =
+          sa2seq(ctx.dbs[p.dbidx], p.a, (uint32_t)s.i64[F_SA], s.len);
+      RemapIO rio;
+      rio.pos = s.i64[F_POS];
+      rio.n_gapo = s.i32[G_NGAPO];
+      rio.n_gape = s.i32[G_NGAPE];
+      rio.len = s.len;
+      int status = do_remap(ctx, &rio, p.dbidx);
+      s.i32[G_DBIDX] = rio.dbidx;
+      s.i64[F_RPOS] = rio.remapped_pos;
+      s.i32[G_RSEQID] = rio.remapped_seqid;
+      s.i32[G_RIDENT] = rio.remap_identical;
+      if (status == 1) {
+        selected = true;
+        break;
+      }
+      ++aidx;
+      if (aidx >= num) aidx = 0;
+      if (aidx == start_idx) break;
+    }
+    ++i;
+    if (i >= top_end) i = 0;
+    if (selected || i == group_start) break;
+  }
+
+  if (!selected) {
+    unmap_read(s);
+    fprintf(stderr, "Failed to select primary alignment\n");
+    return;
+  }
+  int q = approx_mapQ(s, s.max_diff);
+  s.i32[G_SEQ] = s.i32[G_MAPQ] = q;
+}
+
+// ---------------------------------------------------------------------------
+// PE stage: candidate expansion + pairing (bwapair.c / filter_alignments.cpp)
+// ---------------------------------------------------------------------------
+
+struct Position {
+  uint64_t pos;
+  uint64_t remapped_pos;
+  int32_t idx_and_end;
+  int32_t dbidx;
+  int32_t remapped_seqid;
+  int32_t remap_identical;
+  int32_t n_gapo, n_gape;
+  int64_t len;
+  int32_t score;
+};
+
+static const uint64_t U64MAX = ~0ULL;
+
+// hash_64 (bwapair.c:13-20)
+static uint64_t hash_64(uint64_t key) {
+  key = key + ~(key << 32);
+  key ^= key >> 22;
+  key = key + ~(key << 13);
+  key ^= key >> 8;
+  key = key + (key << 3);
+  key ^= key >> 15;
+  key = key + ~(key << 27);
+  key ^= key >> 31;
+  return key;
+}
+
+struct IsizeC {
+  double avg, std, ap_prior;
+  int64_t low, high, high_bayesian;
+};
+
+struct PairOptC {
+  int64_t max_isize;
+  int32_t n_multi, N_multi;
+  int32_t s_mm;
+};
+
+// compute_seq_coords_and_counts (filter_alignments.cpp:53-142)
+static void compute_coords(PeCtx& ctx, const std::vector<AlnRec> aln[2],
+                           Seq* p, std::vector<Position>* arr) {
+  arr->clear();
+  for (int j = 0; j < 2; ++j) {
+    // remapped_pos -> best-score group record (first wins ties)
+    std::unordered_map<uint64_t, int32_t> pos2score;  // value: score
+    int32_t min_score = INT32_MAX;
+    for (size_t k = 0; k < aln[j].size(); ++k) {
+      const AlnRec& ar = aln[j][k];
+      if (ar.score < min_score) min_score = ar.score;
+      const PeDb& db = ctx.dbs[ar.dbidx];
+      for (uint64_t sa = ar.k; sa <= (uint64_t)ar.l; ++sa) {
+        int64_t pos = sa2seq(db, ar.a, (uint32_t)sa, p[j].len);
+        if (pos < db.offset || pos >= db.offset + db.l_pac) continue;
+        Position ap;
+        ap.pos = (uint64_t)pos;
+        ap.remapped_pos = 0;
+        ap.idx_and_end = ((int32_t)k << 1) | j;
+        ap.dbidx = 0;
+        ap.remapped_seqid = -1;
+        ap.remap_identical = 0;
+        ap.n_gapo = ar.n_gapo;
+        ap.n_gape = ar.n_gape;
+        ap.len = p[j].len;
+        ap.score = ar.score;
+        RemapIO rio;
+        rio.pos = pos;
+        rio.n_gapo = ap.n_gapo;
+        rio.n_gape = ap.n_gape;
+        rio.len = ap.len;
+        int status = do_remap(ctx, &rio, ar.dbidx);
+        ap.dbidx = rio.dbidx;
+        ap.remapped_pos = (uint64_t)rio.remapped_pos;
+        ap.remapped_seqid = rio.remapped_seqid;
+        ap.remap_identical = rio.remap_identical;
+        if (!status) continue;
+        arr->push_back(ap);
+        auto it = pos2score.find(ap.remapped_pos);
+        if (it == pos2score.end())
+          pos2score.emplace(ap.remapped_pos, ar.score);
+        else if (ar.score < it->second)
+          it->second = ar.score;
+      }
+    }
+    int64_t total[2] = {0, 0};
+    for (auto& kv : pos2score) total[kv.second == min_score ? 0 : 1] += 1;
+    p[j].i64[F_C1] = total[0];
+    p[j].i64[F_C2] = total[1];
+    if (p[j].i64[F_C1] != 0)
+      p[j].i32[G_TYPE] = p[j].i64[F_C1] > 1 ? TYPE_REPEAT : TYPE_UNIQUE;
+  }
+}
+
+static bool mappings_overlap(const Position& a, const Position& b) {
+  if (a.pos == U64MAX || b.pos == U64MAX) return false;
+  return a.remapped_pos == b.remapped_pos &&
+         (a.idx_and_end & 1) == (b.idx_and_end & 1);
+}
+
+// select_mapping (bwapair.c:62-96); n_optimal stays 1 as in the C
+static const Position* select_mapping(const std::vector<Position>& arr,
+                                      int64_t begin, int64_t end) {
+  const Position* best = &arr[begin];
+  std::unordered_set<uint64_t> seen;
+  if (arr[0].pos == arr[0].remapped_pos) seen.insert(arr[0].pos);
+  for (int64_t i = begin + 1; i <= end; ++i) {
+    const Position& p = arr[i];
+    if (p.pos == p.remapped_pos) {
+      seen.insert(p.pos);
+    } else {
+      if (seen.count(p.remapped_pos) && p.remap_identical) continue;
+    }
+    if (p.score < best->score) best = &p;
+  }
+  return best;
+}
+
+struct PairingState {
+  int64_t o_n = 0, subo_n = 0, cnt_chg = 0;
+  int64_t max_len;
+  Position dummy;
+  const Position* last_pos[2][2];
+  const Position* o_pos[2] = {nullptr, nullptr};
+  uint64_t o_score = U64MAX, subo_score = U64MAX;
+  PairingState(int64_t ml) : max_len(ml) {
+    dummy.pos = U64MAX;
+    dummy.remapped_pos = U64MAX;
+    dummy.idx_and_end = 0;
+    last_pos[0][0] = last_pos[0][1] = &dummy;
+    last_pos[1][0] = last_pos[1][1] = &dummy;
+  }
+};
+
+// pairing_aux (bwapair.c:98-147)
+static void pairing_aux(Seq* p, const PairOptC& opt, const IsizeC& ii,
+                        PairingState& st, const Position* u,
+                        const Position* v, int64_t n_optimal) {
+  uint64_t l;
+  if (u->remapped_pos != u->pos && v->remapped_pos != v->pos &&
+      u->dbidx == v->dbidx && u->remapped_seqid == v->remapped_seqid) {
+    l = (v->pos + (uint64_t)p[v->idx_and_end & 1].len - u->pos) & 0xFFFFFFFFULL;
+  } else {
+    l = (v->remapped_pos + (uint64_t)p[v->idx_and_end & 1].len -
+         u->remapped_pos) & 0xFFFFFFFFULL;
+  }
+  bool ok = u->remapped_pos != U64MAX && v->remapped_pos > u->remapped_pos &&
+            (int64_t)l >= st.max_len &&
+            ((ii.high && (int64_t)l <= ii.high_bayesian) ||
+             (ii.high == 0 && (int64_t)l <= opt.max_isize));
+  if (!ok) return;
+  uint64_t s = (uint64_t)(v->score + u->score);
+  s *= 10;
+  if (ii.high) {
+    double z = std::fabs((double)l - ii.avg) / ii.std / std::sqrt(2.0);
+    s += (uint64_t)(int64_t)(-4.343 * std::log(0.5 * std::erfc(z)) + 0.499);
+  }
+  s = (s << 32) | (hash_64((u->remapped_pos << 32) | v->remapped_pos) &
+                   0xFFFFFFFFULL);
+
+  if ((s >> 32) == (st.o_score >> 32)) {
+    st.o_n += n_optimal;
+  } else if ((s >> 32) < (st.o_score >> 32)) {
+    st.subo_n += st.o_n;
+    st.o_n = n_optimal;
+  } else {
+    st.subo_n += 1;
+  }
+
+  if (s < st.o_score) {
+    st.subo_score = st.o_score;
+    st.o_score = s;
+    st.o_pos[u->idx_and_end & 1] = u;
+    st.o_pos[v->idx_and_end & 1] = v;
+  } else if (s < st.subo_score) {
+    st.subo_score = s;
+  }
+}
+
+// pairing_aux2 (bwapair.c:149-163)
+static void pairing_aux2(const std::vector<AlnRec> aln[2], PairingState& st,
+                         Seq& read, const Position* pos) {
+  const AlnRec& r = aln[pos->idx_and_end & 1][pos->idx_and_end >> 1];
+  read.i32[G_XFLAG] |= SAM_FPP;
+  if ((uint64_t)read.i64[F_POS] != pos->pos || read.i32[G_STRAND] != r.a) {
+    read.i32[G_NMM] = r.n_mm;
+    read.i32[G_NGAPO] = r.n_gapo;
+    read.i32[G_NGAPE] = r.n_gape;
+    read.i32[G_STRAND] = r.a;
+    read.i32[G_SCORE] = r.score;
+    read.i64[F_POS] = (int64_t)pos->pos;
+    read.i32[G_DBIDX] = pos->dbidx;
+    read.i64[F_RPOS] = (int64_t)pos->remapped_pos;
+    read.i32[G_RSEQID] = pos->remapped_seqid;
+    if (read.i32[G_MAPQ] > 0) st.cnt_chg += 1;
+  }
+}
+
+// find_optimal_pair (bwapair.c:168-279)
+static int64_t find_optimal_pair(PeCtx& ctx, Seq* p,
+                                 std::vector<Position>& arr,
+                                 const std::vector<AlnRec> aln[2],
+                                 const PairOptC& opt, const IsizeC& ii) {
+  PairingState st(std::max(p[0].full_len, p[1].full_len));
+  std::stable_sort(arr.begin(), arr.end(),
+                   [](const Position& a, const Position& b) {
+                     if (a.remapped_pos != b.remapped_pos)
+                       return a.remapped_pos < b.remapped_pos;
+                     return a.pos < b.pos;
+                   });
+  int64_t n = (int64_t)arr.size();
+  int64_t i = 0;
+  while (i < n) {
+    const Position* pos = &arr[i];
+    const AlnRec& a = aln[pos->idx_and_end & 1][pos->idx_and_end >> 1];
+    int32_t strand = a.a;
+    int64_t n_optimal = 1;
+    if (i < n - 1) {
+      int64_t k = i;
+      while (k + 1 < n && mappings_overlap(*pos, arr[k + 1])) ++k;
+      if (k > i) {
+        pos = select_mapping(arr, i, k);
+        n_optimal = 1;
+        i = k;
+      }
+    }
+    if (strand == 1) {
+      int y = 1 - (pos->idx_and_end & 1);
+      pairing_aux(p, opt, ii, st, st.last_pos[y][1], pos, n_optimal);
+      pairing_aux(p, opt, ii, st, st.last_pos[y][0], pos, n_optimal);
+    } else {
+      int e = pos->idx_and_end & 1;
+      st.last_pos[e][0] = st.last_pos[e][1];
+      st.last_pos[e][1] = pos;
+    }
+    ++i;
+  }
+
+  if (st.o_score != U64MAX) {
+    int64_t mapQ_p = 0;
+    if (st.o_n == 1) {
+      if (st.subo_score == U64MAX) {
+        mapQ_p = 29;
+      } else if ((int64_t)((st.subo_score >> 32) - (st.o_score >> 32)) >
+                 (int64_t)opt.s_mm * 10) {
+        mapQ_p = 23;
+      } else {
+        int nn = st.subo_n < 255 ? (int)st.subo_n : 255;
+        mapQ_p = (int64_t)((st.subo_score >> 32) - (st.o_score >> 32)) / 2 -
+                 g_log_n_tab[nn];
+        if (mapQ_p < 0) mapQ_p = 0;
+      }
+    }
+    int32_t rr[2];
+    for (int j = 0; j < 2; ++j) {
+      const Position* op = st.o_pos[j];
+      rr[j] = aln[op->idx_and_end & 1][op->idx_and_end >> 1].a;
+    }
+    bool same0 = (uint64_t)p[0].i64[F_RPOS] == st.o_pos[0]->remapped_pos &&
+                 p[0].i32[G_STRAND] == rr[0];
+    bool same1 = (uint64_t)p[1].i64[F_RPOS] == st.o_pos[1]->remapped_pos &&
+                 p[1].i32[G_STRAND] == rr[1];
+    if (same0 && same1) {
+      if (p[0].i32[G_MAPQ] > 0 && p[1].i32[G_MAPQ] > 0) {
+        int mq = p[0].i32[G_MAPQ] + p[1].i32[G_MAPQ];
+        if (mq > 60) mq = 60;
+        p[0].i32[G_MAPQ] = p[1].i32[G_MAPQ] = mq;
+      } else {
+        if (p[0].i32[G_MAPQ] == 0)
+          p[0].i32[G_MAPQ] = std::min<int64_t>(mapQ_p + 7, p[1].i32[G_MAPQ]);
+        if (p[1].i32[G_MAPQ] == 0)
+          p[1].i32[G_MAPQ] = std::min<int64_t>(mapQ_p + 7, p[0].i32[G_MAPQ]);
+      }
+    } else if (same0) {  // end 1 moved
+      p[1].i32[G_SEQ] = 0;
+      p[1].i32[G_MAPQ] = std::min<int64_t>(p[0].i32[G_MAPQ], mapQ_p);
+    } else if (same1) {  // end 0 moved
+      p[0].i32[G_SEQ] = 0;
+      p[0].i32[G_MAPQ] = std::min<int64_t>(p[1].i32[G_MAPQ], mapQ_p);
+    } else {  // both moved
+      p[0].i32[G_SEQ] = p[1].i32[G_SEQ] = 0;
+      mapQ_p = std::max<int64_t>(mapQ_p - 20, 0);
+      p[0].i32[G_MAPQ] = p[1].i32[G_MAPQ] = (int32_t)mapQ_p;
+    }
+    pairing_aux2(aln, st, p[0], st.o_pos[0]);
+    pairing_aux2(aln, st, p[1], st.o_pos[1]);
+  }
+  return st.cnt_chg;
+}
+
+// select_sai_multi (saiset.c:113-161)
+static void select_sai_multi(PeCtx& ctx, const std::vector<AlnRec>& ag,
+                             Seq& s, int64_t n_multi, Rng& rng,
+                             int64_t* out_pos, int32_t* out_meta,
+                             int32_t* out_cnt, int64_t cap) {
+  *out_cnt = 0;
+  int64_t n_occ = 0;
+  for (const AlnRec& q : ag) n_occ += (int64_t)q.l - (int64_t)q.k + 1;
+  if (n_occ > n_multi + 1) return;
+  int64_t rest = n_occ;
+  struct M {
+    int64_t pos;
+    int32_t gap, mm, strand, dbidx;
+  };
+  std::vector<M> z;
+  for (const AlnRec& q : ag) {
+    const PeDb& db = ctx.dbs[q.dbidx];
+    int64_t width = (int64_t)q.l - (int64_t)q.k + 1;
+    if (width <= rest) {
+      for (uint64_t sa = q.k; sa <= (uint64_t)q.l; ++sa) {
+        int64_t pos = sa2seq(db, q.a, (uint32_t)sa, s.len);
+        z.push_back({pos, q.n_gapo + q.n_gape, q.n_mm, q.a, q.dbidx});
+      }
+      rest -= width;
+    } else {  // "we never come here" (saiset.c:150)
+      int64_t j = rest;
+      int64_t i2 = width;
+      while (j > 0) {
+        double pp = 1.0;
+        double x = rng.next();
+        while (x < pp) {
+          pp -= pp * (double)j / (double)i2;
+          --i2;
+        }
+        int64_t pos = sa2seq(db, q.a, (uint32_t)(q.l - 1), s.len);
+        z.push_back({pos, q.n_gapo + q.n_gape, q.n_mm, q.a, q.dbidx});
+        --j;
+      }
+      break;
+    }
+  }
+  int64_t cnt = 0;
+  for (const M& m : z) {
+    if (m.pos == s.i64[F_POS]) continue;
+    if (cnt >= n_multi || cnt >= cap) break;
+    out_pos[cnt] = m.pos;
+    out_meta[cnt * 4 + 0] = m.gap;
+    out_meta[cnt * 4 + 1] = m.mm;
+    out_meta[cnt * 4 + 2] = m.strand;
+    out_meta[cnt * 4 + 3] = m.dbidx;
+    ++cnt;
+  }
+  *out_cnt = (int32_t)cnt;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* ibwa_pe_new(int32_t remapping, int32_t s_mm) {
+  init_g_log_n();
+  PeCtx* ctx = new PeCtx();
+  ctx->remapping = remapping;
+  ctx->s_mm = s_mm;
+  return ctx;
+}
+
+void ibwa_pe_free(void* p) { delete (PeCtx*)p; }
+
+void ibwa_pe_add_db(
+    void* pctx, const uint32_t* itl_fwd, uint32_t primary_fwd,
+    const uint32_t* itl_rev, uint32_t primary_rev, const uint32_t* l2,
+    uint32_t seq_len, uint32_t sa_intv, const uint32_t* sa_fwd,
+    const uint32_t* sa_rev, int64_t offset, int64_t l_pac, int32_t n_seqs,
+    const int64_t* ann_off, const int32_t* ann_len, int32_t has_remap,
+    int32_t n_remap, const int32_t* rm_target, const uint8_t* rm_exact,
+    const int64_t* rm_start, const int64_t* rm_stop,
+    const int64_t* rm_run_begin, const int32_t* rm_run_cnt,
+    const uint8_t* rm_ops, const int32_t* rm_lens) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  PeDb db;
+  db.fwd.bwt = InterleavedBwt{itl_fwd, primary_fwd,
+                              {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len};
+  db.rev.bwt = InterleavedBwt{itl_rev, primary_rev,
+                              {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len};
+  db.fwd.sa_intv = db.rev.sa_intv = sa_intv;
+  db.fwd.sampled_sa = sa_fwd;
+  db.rev.sampled_sa = sa_rev;
+  db.seq_len = seq_len;
+  db.offset = offset;
+  db.l_pac = l_pac;
+  db.n_seqs = n_seqs;
+  db.ann_off = ann_off;
+  db.ann_len = ann_len;
+  db.has_remap = has_remap != 0;
+  db.n_remap = n_remap;
+  db.rm_target = rm_target;
+  db.rm_exact = rm_exact;
+  db.rm_start = rm_start;
+  db.rm_stop = rm_stop;
+  db.rm_run_begin = rm_run_begin;
+  db.rm_run_cnt = rm_run_cnt;
+  db.rm_ops = rm_ops;
+  db.rm_lens = rm_lens;
+  ctx->dbs.push_back(db);
+  ctx->n_db = (int)ctx->dbs.size();
+}
+
+// register one end's one db's .sai batch (counts + records for n reads)
+void ibwa_pe_set_sai(void* pctx, int32_t end, int32_t dbidx,
+                     const int32_t* counts, const uint32_t* recs,
+                     int64_t n_reads) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  SaiBatch& sb = ctx->sai[end][dbidx];
+  sb.counts = counts;
+  sb.recs = recs;
+  sb.read_off.resize(n_reads);
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    sb.read_off[i] = off;
+    off += counts[i];
+  }
+}
+
+// SE stage (bwa_cal_pac_pos_pe's serial selection loop, bwape.c:394-409):
+// for each read, end 0 then end 1, build the group and select the primary.
+// io_i64/io_i32 are the per-end-read field blocks (read-major, end inner).
+void ibwa_pe_se_stage(void* pctx, int64_t n_reads, const int32_t* lens,
+                      const int32_t* full_lens, const int32_t* max_diff,
+                      uint64_t* rng_state, int64_t* io_i64, int32_t* io_i32) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  Rng rng{*rng_state};
+  std::vector<AlnRec> ag;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    for (int j = 0; j < 2; ++j) {
+      int64_t e = i * 2 + j;
+      build_group(*ctx, j, i, &ag);
+      Seq s{io_i64 + e * NF64, io_i32 + e * NF32, lens[e], full_lens[e],
+            max_diff[e]};
+      select_sai_ibwa(*ctx, ag, s, rng);
+    }
+  }
+  *rng_state = rng.x;
+}
+
+// PE stage (bwa_cal_pac_pos_pe_thread, bwape.c:238-297): coordinate
+// expansion, SE mapQ, pairing, and XA multi selection.  Returns cnt_chg.
+int64_t ibwa_pe_pe_stage(void* pctx, int64_t n_reads, const int32_t* lens,
+                         const int32_t* full_lens, const int32_t* max_diff,
+                         double ii_avg, double ii_std, int64_t ii_low,
+                         int64_t ii_high, int64_t ii_high_bayesian,
+                         int64_t max_isize, int32_t n_multi, int32_t N_multi,
+                         uint64_t* rng_state, int64_t* io_i64,
+                         int32_t* io_i32, int32_t multi_cap,
+                         int32_t* out_multi_cnt, int64_t* out_multi_pos,
+                         int32_t* out_multi_meta) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  Rng rng{*rng_state};
+  IsizeC ii{ii_avg, ii_std, 0.0, ii_low, ii_high, ii_high_bayesian};
+  PairOptC opt{max_isize, n_multi, N_multi, ctx->s_mm};
+  int64_t cnt_chg = 0;
+  std::vector<AlnRec> aln[2];
+  std::vector<Position> arr;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    int64_t e0 = i * 2, e1 = i * 2 + 1;
+    build_group(*ctx, 0, i, &aln[0]);
+    build_group(*ctx, 1, i, &aln[1]);
+    Seq p[2] = {
+        {io_i64 + e0 * NF64, io_i32 + e0 * NF32, lens[e0], full_lens[e0],
+         max_diff[e0]},
+        {io_i64 + e1 * NF64, io_i32 + e1 * NF32, lens[e1], full_lens[e1],
+         max_diff[e1]},
+    };
+    compute_coords(*ctx, aln, p, &arr);
+    for (int j = 0; j < 2; ++j) {
+      if (p[j].i64[F_C1] || p[j].i64[F_C2]) {
+        int q = approx_mapQ(p[j], p[j].max_diff);
+        p[j].i32[G_SEQ] = p[j].i32[G_MAPQ] = q;
+      }
+    }
+    int t0 = p[0].i32[G_TYPE], t1 = p[1].i32[G_TYPE];
+    if ((t0 == TYPE_UNIQUE || t0 == TYPE_REPEAT) &&
+        (t1 == TYPE_UNIQUE || t1 == TYPE_REPEAT)) {
+      cnt_chg += find_optimal_pair(*ctx, p, arr, aln, opt, ii);
+    }
+    if (N_multi || n_multi) {
+      for (int j = 0; j < 2; ++j) {
+        int64_t e = i * 2 + j;
+        out_multi_cnt[e] = 0;
+        if (p[j].i32[G_TYPE] != TYPE_NO_MATCH) {
+          int64_t max_multi = n_multi;
+          if (!(p[j].i32[G_XFLAG] & SAM_FPP) &&
+              p[1 - j].i32[G_TYPE] != TYPE_NO_MATCH) {
+            max_multi =
+                (p[j].i64[F_C1] + p[j].i64[F_C2] - 1 > N_multi) ? n_multi
+                                                                : N_multi;
+          }
+          select_sai_multi(*ctx, aln[j], p[j], max_multi, rng,
+                           out_multi_pos + e * multi_cap,
+                           out_multi_meta + e * multi_cap * 4,
+                           out_multi_cnt + e, multi_cap);
+        }
+      }
+    }
+  }
+  *rng_state = rng.x;
+  return cnt_chg;
+}
+
+// .sai batch scan: parse up to n_reads records from blob; writes per-read
+// counts and compacts all bwt_aln1_t records (16B each) into recs_out.
+// Returns bytes consumed, or -1 if the blob ends mid-read.
+int64_t ibwa_sai_scan(const uint8_t* blob, int64_t blob_len, int64_t n_reads,
+                      int32_t* counts, uint32_t* recs_out) {
+  int64_t off = 0;
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    if (off + 4 > blob_len) return -1;
+    int32_t n;
+    std::memcpy(&n, blob + off, 4);
+    off += 4;
+    if (n < 0 || off + (int64_t)n * 16 > blob_len) return -1;
+    counts[i] = n;
+    std::memcpy(recs_out + w * 4, blob + off, (size_t)n * 16);
+    w += n;
+    off += (int64_t)n * 16;
+  }
+  return off;
+}
+
+}  // extern "C"

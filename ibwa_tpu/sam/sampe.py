@@ -533,6 +533,60 @@ def select_sai_multi(dbs: DbSet, ag: list[Alignment], s: AlnSeq,
     s.multi = z[:n_multi]
 
 
+def _batch_max_diffs(seqs, gopt: GapOpt) -> np.ndarray:
+    """Per-end-read max_diff in (read, end) order (e = 2*i + j)."""
+    n = len(seqs[0])
+    md = np.empty(2 * n, dtype=np.int32)
+    cache: dict[int, int] = {}
+    for i in range(n):
+        for j in range(2):
+            ln = seqs[j][i].len
+            if gopt.fnr > 0.0:
+                v = cache.get(ln)
+                if v is None:
+                    v = cal_maxdiff(ln, BWA_AVG_ERR, gopt.fnr)
+                    cache[ln] = v
+            else:
+                v = gopt.max_diff
+            md[2 * i + j] = v
+    return md
+
+
+def _apply_isize_fallbacks(ii: IsizeInfo, last_ii: IsizeInfo,
+                           popt: PeOpt) -> None:
+    if ii.avg < 0.0 and last_ii.avg > 0.0:
+        (ii.avg, ii.std, ii.ap_prior, ii.low, ii.high, ii.high_bayesian) = (
+            last_ii.avg, last_ii.std, last_ii.ap_prior, last_ii.low,
+            last_ii.high, last_ii.high_bayesian)
+    if popt.force_isize:
+        print("[cal_pac_pos_pe] discard insert size estimate as user's "
+              "request.", file=sys.stderr)
+        ii.low = ii.high = 0
+        ii.avg = ii.std = -1.0
+
+
+def cal_pac_pos_pe_native(dbs: DbSet, seqs, pe_nat, ii: IsizeInfo,
+                          popt: PeOpt, gopt: GapOpt, last_ii: IsizeInfo,
+                          rng: Rand48) -> int:
+    """bwa_cal_pac_pos_pe via the compiled per-read stage (pe_stage.cpp).
+
+    Identical semantics to cal_pac_pos_pe below; the groups were
+    registered on the native context by the caller (set_sai_batch)."""
+    n_seqs = len(seqs[0])
+    for i in range(n_seqs):
+        for j in range(2):
+            p = seqs[j][i]
+            p.multi = []
+            p.extra_flag |= SAM_FPD | (SAM_FR1 if j == 0 else SAM_FR2)
+    md = _batch_max_diffs(seqs, gopt)
+    pe_nat.se_stage(seqs, md, rng)
+
+    infer_isize(seqs, ii, popt.ap_prior, dbs.l_pac)
+    _apply_isize_fallbacks(ii, last_ii, popt)
+
+    return pe_nat.pe_stage(seqs, md, ii, popt, rng)
+
+
 def cal_pac_pos_pe(dbs: DbSet, seqs, saisets, count: int, ii: IsizeInfo,
                    popt: PeOpt, gopt: GapOpt, last_ii: IsizeInfo,
                    rng: Rand48) -> int:
@@ -788,6 +842,21 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     out.write(dbs.sam_SQ(rg_line))
     print_sam_PG(out)
 
+    # native per-read stage (pe_stage.cpp) unless IBWA_PURE_PY=1; the
+    # Python loops below remain the semantic reference + fallback
+    import os as _os
+    use_native = not _os.environ.get("IBWA_PURE_PY")
+    pe_nat = None
+    blobs: list[list[bytes]] = [[], []]
+    cursors: list[list[int]] = [[], []]
+    if use_native:
+        from .pe_native import PeNative, scan_sai_batch
+        pe_nat = PeNative(dbs, popt, gopt)
+        for which in range(2):
+            for i in range(count):
+                blobs[which].append(fps[which][i].read())
+                cursors[which].append(0)
+
     reads = [load_reads(fq1, trim_qual=gopt0.trim_qual,
                         is_comp=bool(gopt0.mode & 0x02),
                         is_64=bool(gopt0.mode & 0x200),
@@ -802,8 +871,20 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
         seqs = ([AlnSeq(read=r) for r in reads[0][start:start + BATCH]],
                 [AlnSeq(read=r) for r in reads[1][start:start + BATCH]])
         ii = IsizeInfo()
-        cnt_chg = cal_pac_pos_pe(dbs, seqs, fps, count, ii, popt, gopt,
-                                 last_ii, rng)
+        if pe_nat is not None:
+            from .pe_native import scan_sai_batch
+            n_batch = len(seqs[0])
+            for which in range(2):
+                for i in range(count):
+                    counts, recs, used = scan_sai_batch(
+                        blobs[which][i][cursors[which][i]:], n_batch)
+                    cursors[which][i] += used
+                    pe_nat.set_sai_batch(which, i, counts, recs, n_batch)
+            cnt_chg = cal_pac_pos_pe_native(dbs, seqs, pe_nat, ii, popt,
+                                            gopt, last_ii, rng)
+        else:
+            cnt_chg = cal_pac_pos_pe(dbs, seqs, fps, count, ii, popt, gopt,
+                                     last_ii, rng)
         print(f"[sai2sam_pe] changing coordinates of {cnt_chg} alignments.",
               file=sys.stderr)
         paired_sw(dbs, seqs, popt, ii)
