@@ -183,14 +183,38 @@ def merge_hits(b: list[HitList], length: int, is_reverse: bool) -> None:
     b[1] = None  # type: ignore[assignment]
 
 
+def _core_native(opt: Bsw2Opt, seq_codes: np.ndarray, fm: FmIndex
+                 ) -> tuple[HitList, HitList]:
+    """bsw2_core via the compiled implementation (native/src/bsw2.cpp —
+    the reference's hot loop, bwtsw2_core.c:429-594); byte-compatible
+    with core.py::bsw2_core which remains the oracle (IBWA_PURE_PY=1)."""
+    arr_b, arr_b1 = native.bsw2_core(
+        fm, seq_codes, opt.a, opt.b, opt.q, opt.r, opt.t, opt.bw, opt.z,
+        opt.is_)
+    out = []
+    for arr in (arr_b, arr_b1):
+        hl = HitList()
+        hl.hits = [Hit(k=int(r[0]), l=int(r[1]), flag=int(r[2]),
+                       n_seeds=int(r[3]), len=int(r[4]), G=int(r[5]),
+                       G2=int(r[6]), beg=int(r[7]), end=int(r[8]))
+                   for r in arr]
+        out.append(hl)
+    return out[0], out[1]
+
+
 def aln1_core(opt: Bsw2Opt, bns: Bns, pac: np.ndarray, target_fm: FmIndex,
               length: int, seq: list[np.ndarray], is_rev: bool,
               matrix: np.ndarray, rng: Rand48) -> HitList:
     """bsw2_aln1_core (bwtsw2_aux.c:252-276)."""
+    import os
+    use_native = not os.environ.get("IBWA_PURE_PY")
     bb = []
     for k in range(2):
-        query_bwtl = Bwtl(seq[k])
-        b_all, b_narrow = bsw2_core(opt, query_bwtl, target_fm)
+        if use_native:
+            b_all, b_narrow = _core_native(opt, seq[k], target_fm)
+        else:
+            query_bwtl = Bwtl(seq[k])
+            b_all, b_narrow = bsw2_core(opt, query_bwtl, target_fm)
         bb.append([b_all, b_narrow])
     pair = (bb[0][1], bb[1][1])
     chain_filter(opt, length, pair)
@@ -440,20 +464,14 @@ def bsw2_aln_one(opt0: Bsw2Opt, bns: Bns, pac: np.ndarray,
         k = 1
     opt.bw = min(opt0.bw, k)
 
-    seq = [np.zeros(l, dtype=np.uint8), np.zeros(l, dtype=np.uint8)]
-    rseq = [np.zeros(l, dtype=np.uint8), np.zeros(l, dtype=np.uint8)]
-    n_amb = 0
     raw = np.frombuffer(seq_str.encode("latin-1"), dtype=np.uint8)
-    codes = NT4_TABLE[raw]
-    for i in range(l):
-        c = int(codes[i])
-        if c >= 4:
-            c = int(rng.drand48() * 4)
-            n_amb += 1
-        seq[0][i] = c
-        seq[1][l - 1 - i] = 3 - c
-        rseq[0][l - 1 - i] = c
-        rseq[1][i] = 3 - c
+    codes = NT4_TABLE[raw].copy()
+    amb = np.flatnonzero(codes >= 4)
+    n_amb = len(amb)
+    for i in amb:  # rng draws only for ambiguous bases, in read order
+        codes[i] = int(rng.drand48() * 4)
+    seq = [codes, (3 - codes)[::-1].copy()]
+    rseq = [codes[::-1].copy(), (3 - codes).copy()]
     if l - n_amb < opt.t:
         print_hits(bns, opt, name, seq_str, qual, None, out)
         return

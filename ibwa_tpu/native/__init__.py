@@ -104,6 +104,13 @@ def load() -> ctypes.CDLL:
         lib.ibwa_occ4.argtypes = [u32p, ctypes.c_uint32, u32p,
                                   ctypes.c_uint32, ctypes.c_uint32, u32p]
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ibwa_bsw2_core.argtypes = [
+            u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, ctypes.c_uint32,
+            u32p, u8p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, i64p, i32p, ctypes.c_int32]
+        lib.ibwa_bsw2_core.restype = ctypes.c_int32
         lib.ibwa_match_gap_batch.argtypes = [
             u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
             ctypes.c_uint32, u8p, u8p, i64p, i32p, i32p, i32p, i32p,
@@ -320,6 +327,37 @@ def drand48_stream(state_x: int, n: int) -> tuple[np.ndarray, int]:
     lib.ibwa_drand48(st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out, int(st[0])
+
+
+def bsw2_core(fm, seq: np.ndarray, a: int, b: int, q: int, r: int,
+              t: int, bw: int, z: int, is_: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Native BWA-SW core for one read strand (bsw2.cpp).
+
+    fm: FmIndex of the genome; seq: 2-bit codes (no N).  Returns two
+    int64 hit arrays [n, 9]: (k, l, flag, n_seeds, len, G, G2, beg, end)
+    — the duplicate-resolved wide and narrow lists."""
+    lib = load()
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    itl = np.ascontiguousarray(fm._interleaved, dtype=np.uint32)
+    l2 = np.ascontiguousarray(fm.L2, dtype=np.uint32)
+    sa = np.ascontiguousarray(fm.sa, dtype=np.uint32)
+    cap = 6 * max(len(seq), 8) + 64
+    out_b = np.empty((cap, 9), dtype=np.int64)
+    out_b1 = np.empty((cap, 9), dtype=np.int64)
+    n_b = np.zeros(1, dtype=np.int32)
+    n_b1 = np.zeros(1, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ibwa_bsw2_core(
+        _u32(itl), fm.primary, _u32(l2), fm.seq_len, fm.sa_intv, _u32(sa),
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(seq),
+        a, b, q, r, t, bw, z, is_,
+        out_b.ctypes.data_as(i64p), n_b.ctypes.data_as(i32p),
+        out_b1.ctypes.data_as(i64p), n_b1.ctypes.data_as(i32p), cap)
+    if rc != 0:
+        raise RuntimeError("ibwa_bsw2_core: hit capacity overflow")
+    return out_b[:int(n_b[0])].copy(), out_b1[:int(n_b1[0])].copy()
 
 
 def match_gap_batch(fm_fwd, fm_rev, seqs: list[np.ndarray],

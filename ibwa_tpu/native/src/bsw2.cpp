@@ -24,7 +24,7 @@
 
 namespace {
 
-constexpr int64_t MINUS_INF = -0x3FFFFFFF;
+constexpr int32_t MINUS_INF = -0x3FFFFFFF;
 constexpr double MASK_LEVEL = 0.90;
 
 // ---------------------------------------------------------------------------
@@ -68,6 +68,35 @@ static void fm_occ4(const Itl& b, uint32_t k, int64_t out[4]) {
     for (uint32_t j = 0; j < full_words; ++j) n += cnt_prefix(w[j], c, 16);
     n += cnt_prefix(w[full_words], c, (int)(k % 16) + 1);
     out[c] = n;
+  }
+}
+
+// paired occ4 at (k, l) sharing the block scan when both land in one
+// 128-base block (the reference's bwt_2occ4 trick, bwt.c:177-214);
+// results are exactly fm_occ4(k) and fm_occ4(l)
+static void fm_2occ4(const Itl& b, uint32_t k, uint32_t l, int64_t ck[4],
+                     int64_t cl[4]) {
+  uint32_t k2 = k, l2 = l;
+  if (k2 != 0xFFFFFFFFu && k2 != b.seq_len && k2 >= b.primary) --k2;
+  if (l2 != 0xFFFFFFFFu && l2 != b.seq_len && l2 >= b.primary) --l2;
+  if (k == 0xFFFFFFFFu || k == b.seq_len || l == 0xFFFFFFFFu ||
+      l == b.seq_len || (k2 / 128) != (l2 / 128)) {
+    fm_occ4(b, k, ck);
+    fm_occ4(b, l, cl);
+    return;
+  }
+  const uint32_t* blk = b.data + (k2 / 128) * 12;
+  const uint32_t* w = blk + 4;
+  uint32_t base0 = (k2 / 128) * 128;
+  uint32_t fw_k = (k2 - base0) / 16, fw_l = (l2 - base0) / 16;
+  for (int c = 0; c < 4; ++c) {
+    uint32_t n = blk[c];
+    uint32_t j = 0;
+    for (; j < fw_k; ++j) n += cnt_prefix(w[j], c, 16);
+    uint32_t nk = n + cnt_prefix(w[fw_k], c, (int)(k2 % 16) + 1);
+    for (; j < fw_l; ++j) n += cnt_prefix(w[j], c, 16);
+    ck[c] = nk;
+    cl[c] = n + cnt_prefix(w[fw_l], c, (int)(l2 % 16) + 1);
   }
 }
 
@@ -161,8 +190,10 @@ struct Bwtl {
 // ---------------------------------------------------------------------------
 
 struct Cell {
-  int64_t qk = 0, ql = 0;
-  int64_t I = MINUS_INF, D = MINUS_INF, G = MINUS_INF;
+  // 32-bit fields as in the reference's bsw2cell_t: half the struct size
+  // halves the cell-array memory traffic of the hot fill loop
+  uint32_t qk = 0, ql = 0;
+  int32_t I = MINUS_INF, D = MINUS_INF, G = MINUS_INF;
   int32_t pj = 0;
   int32_t qlen = 0, tlen = 0;
   int32_t ppos = -1, upos = -1;
@@ -221,7 +252,7 @@ static void remove_duplicate(Entry& u) {
   for (int i = 0; i < (int)u.cells.size(); ++i) {
     Cell& p = u.cells[i];
     if (p.ql == 0) continue;
-    uint64_t key = ((uint64_t)p.qk << 32) | (uint64_t)(uint32_t)p.ql;
+    uint64_t key = ((uint64_t)p.qk << 32) | (uint64_t)p.ql;
     int j = -1;
     auto it = seen.find(key);
     if (it != seen.end()) {
@@ -288,7 +319,7 @@ static void save_hits(const Bwtl& bwt, int64_t thres, std::vector<Hit>& hits,
 static void save_narrow_hits(const Bwtl& bwtl, Entry& u,
                              std::vector<Hit>& b1, int64_t t, int64_t IS) {
   for (Cell& p : u.cells) {
-    if (p.G >= t && p.ql - p.qk + 1 <= IS) {
+    if (p.G >= t && (int64_t)p.ql - p.qk + 1 <= IS) {
       Hit h;
       h.k = p.qk;
       h.l = p.ql;
@@ -382,8 +413,31 @@ struct Opt {
   int64_t qr() const { return q + r; }
 };
 
+// entry pool (mirrors the reference's mempool, bwtsw2_core.c:58-84):
+// recycled entries keep their cells vector CAPACITY, so the steady state
+// runs allocation-free
+struct EntryPool {
+  std::vector<Entry*> free_, all_;
+  Entry* alloc() {
+    if (free_.empty()) {
+      Entry* e = new Entry();
+      all_.push_back(e);
+      return e;
+    }
+    Entry* e = free_.back();
+    free_.pop_back();
+    e->cells.clear();
+    return e;
+  }
+  void put(Entry* e) { free_.push_back(e); }
+  ~EntryPool() {
+    for (Entry* e : all_) delete e;
+  }
+};
+
 static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
-                      std::vector<Hit>& b, std::vector<Hit>& b1) {
+                      std::vector<Hit>& b, std::vector<Hit>& b1,
+                      EntryPool& pool) {
   // connectivity prepass (bwtsw2_core.c:87-120)
   std::unordered_map<uint64_t, uint64_t> chash;
   {
@@ -411,7 +465,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
     }
   }
 
-  int64_t score_mat[4][4];
+  int32_t score_mat[4][4];
   for (int i = 0; i < 4; ++i)
     for (int j = 0; j < 4; ++j)
       score_mat[i][j] = (i == j) ? opt.a : -opt.b;
@@ -423,7 +477,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
   std::vector<Entry*> pending;
   std::vector<Entry*> stack0;
 
-  Entry* root = new Entry();
+  Entry* root = pool.alloc();
   root->tk = 0;
   root->tl = target.seq_len;
   {
@@ -460,11 +514,11 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
       uint64_t& slot = chash[key];
       slot -= 1;
       uint32_t cnt = (uint32_t)(slot & 0xFFFFFFFFu);
-      Entry* u = new Entry();
+      Entry* u = pool.alloc();
       u->tk = k;
       u->tl = l;
       std::fill(heap.begin(), heap.end(), 0);
-      const int64_t* csm = score_mat[tj];
+      const int32_t* csm = score_mat[tj];
 
       for (int i = 0; i < (int)v->cells.size(); ++i) {
         // NOTE: v->cells may grow during this loop; index, don't iterate
@@ -529,8 +583,8 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
           if (p.cpos[0] == -1 || p.cpos[1] == -1 || p.cpos[2] == -1 ||
               p.cpos[3] == -1) {
             int64_t qcntk[4], qcntl[4];
-            fm_occ4(query, (uint32_t)(p.qk - 1), qcntk);
-            fm_occ4(query, (uint32_t)p.ql, qcntl);
+            fm_2occ4(query, (uint32_t)(p.qk - 1), (uint32_t)p.ql,
+                     qcntk, qcntl);
             for (int qj = 0; qj < 4; ++qj) {
               if (v->cells[i].cpos[qj] != -1) continue;
               int64_t k2 = (int64_t)query.l2[qj] + qcntk[qj] + 1;
@@ -574,14 +628,14 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
           pending[pos - 1] = nullptr;
           n_pending -= 1;
         }
-        delete u;
+        pool.put(u);
       } else if (cnt) {
         if (!u->cells.empty()) {
           n_pending += 1;
           pending.push_back(u);
           chash[key] = ((uint64_t)pending.size() << 32) | cnt;
         } else {
-          delete u;
+          pool.put(u);
         }
       } else {
         save_narrow_hits(target, *u, b1, opt.t, opt.IS);
@@ -589,10 +643,10 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
         stack0.push_back(u);
       }
     }
-    delete v;
+    pool.put(v);
   }
   for (Entry* e : pending)
-    if (e) delete e;
+    if (e) pool.put(e);
 
   resolve_duphits(&query, b, opt.IS);
   resolve_duphits(&query, b1, opt.IS);
@@ -624,7 +678,8 @@ int32_t ibwa_bsw2_core(
   target.build(seq, len);
   Opt opt{a, bmm, q, r, t, bw, z, IS};
   std::vector<Hit> b, b1;
-  bsw2_core(opt, target, query, b, b1);
+  static thread_local EntryPool pool;
+  bsw2_core(opt, target, query, b, b1, pool);
   if ((int32_t)b.size() > cap || (int32_t)b1.size() > cap) return -1;
   auto emit = [](const std::vector<Hit>& hs, int64_t* out) {
     for (size_t i = 0; i < hs.size(); ++i) {
