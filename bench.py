@@ -1,11 +1,18 @@
 """Benchmark: `aln` throughput (reads/s/chip) vs the reference binary.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the driver contract):
   {"metric": "aln_reads_per_s_per_chip", "value": N, "unit": "reads/s",
    "vs_baseline": ratio_vs_reference_one_core}
 
+Secondary metrics (samse/sampe/bwasw stage throughput vs the reference
+binary, device/host split, modeled HBM utilization) go to stderr and to
+`.bench/bench_extra.json`.
+
 The workload mirrors the reference's headline metric (bwa.1:479-482):
 short-read gapped alignment against an indexed genome, default options.
+The genome carries repeat structure (dispersed ~300bp elements, a tandem
+array, diverged segmental duplications) so wide SA intervals and the
+heavy-tail paths fire — a uniform-random genome flatters the aligner.
 Baseline = the reference ibwa binary, single thread, same genome/reads on
 this host (built from /root/reference on first run, then cached).
 """
@@ -25,24 +32,58 @@ REPO = pathlib.Path(__file__).resolve().parent
 # compile; reuse across bench invocations
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
 WORK = REPO / ".bench"
+GENOME_TAG = "rep1"       # bump when the genome recipe changes
 GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
 N_READS = 16384
 READ_LEN = 100
+N_PAIRS = 8192            # sampe stage benchmark
+N_LONG = 1500             # bwasw stage benchmark
 
 
 def log(msg: str) -> None:
-    print(f"[bench] {msg}", file=sys.stderr)
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def make_genome(rng) -> str:
+    """~15% repeat content: dispersed ~300bp elements (10%), one tandem
+    array (3%), diverged 50kb segmental duplications (2%)."""
+    parts = []
+    alu = "".join(rng.choice("ACGT") for _ in range(300))
+    unit = "".join(rng.choice("ACGT") for _ in range(250))
+    parts.append(unit * 3840)  # ~0.96 Mbp tandem array
+    seg = "".join(rng.choice("ACGT") for _ in range(50_000))
+    for _ in range(13):        # ~0.65 Mbp segdups at ~0.1% divergence
+        s = list(seg)
+        for _ in range(50):
+            p = rng.randrange(len(s))
+            s[p] = rng.choice("ACGT")
+        parts.append("".join(s))
+    made = sum(len(p) for p in parts)
+    blocks = []
+    while made < GENOME_LEN:
+        if rng.random() < 0.10:
+            blocks.append(alu)
+            made += len(alu)
+        else:
+            n = rng.randrange(1500, 9000)
+            blocks.append("".join(rng.choice("ACGT") for _ in range(n)))
+            made += n
+    parts.extend(blocks)
+    rng.shuffle(parts)
+    return "".join(parts)[:GENOME_LEN]
 
 
 def ensure_inputs() -> tuple[pathlib.Path, pathlib.Path]:
     WORK.mkdir(exist_ok=True)
-    fa = WORK / "genome.fa"
-    fq = WORK / "reads.fq"
-    if fa.exists() and fq.exists() and (WORK / "genome.fa.bwt").exists():
+    fa = WORK / f"genome_{GENOME_TAG}.fa"
+    fq = WORK / f"reads_{GENOME_TAG}.fq"
+    if fa.exists() and fq.exists() and (str(fa) + ".bwt") and \
+            pathlib.Path(str(fa) + ".bwt").exists():
         return fa, fq
     rng = random.Random(20260816)
-    log(f"generating {GENOME_LEN/1e6:.0f} Mbp genome + {N_READS} reads")
-    seq = "".join(rng.choice("ACGT") for _ in range(GENOME_LEN))
+    log(f"generating {GENOME_LEN/1e6:.0f} Mbp repeat-structured genome "
+        f"+ {N_READS} reads")
+    seq = make_genome(rng)
     with open(fa, "w") as f:
         f.write(">bench_chr\n")
         for i in range(0, len(seq), 70):
@@ -58,6 +99,35 @@ def ensure_inputs() -> tuple[pathlib.Path, pathlib.Path]:
             if rng.random() < 0.5:
                 s = [comp[c] for c in reversed(s)]
             f.write(f"@r{i}\n{''.join(s)}\n+\n{'I' * READ_LEN}\n")
+    # paired reads for the sampe benchmark
+    fq1 = WORK / f"pairs_{GENOME_TAG}_1.fq"
+    fq2 = WORK / f"pairs_{GENOME_TAG}_2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(N_PAIRS):
+            isz = max(2 * READ_LEN + 10, int(rng.gauss(320, 40)))
+            pos = rng.randrange(0, GENOME_LEN - isz)
+            frag = seq[pos:pos + isz]
+            a = list(frag[:READ_LEN])
+            b = [comp[c] for c in reversed(frag[-READ_LEN:])]
+            for arr in (a, b):
+                for j in range(len(arr)):
+                    if rng.random() < 0.01:
+                        arr[j] = rng.choice("ACGT")
+            f1.write(f"@p{i}\n{''.join(a)}\n+\n{'I' * READ_LEN}\n")
+            f2.write(f"@p{i}\n{''.join(b)}\n+\n{'I' * READ_LEN}\n")
+    # long reads for the bwasw benchmark
+    fql = WORK / f"long_{GENOME_TAG}.fq"
+    with open(fql, "w") as f:
+        for i in range(N_LONG):
+            ln = rng.randrange(400, 1000)
+            pos = rng.randrange(0, GENOME_LEN - ln)
+            s = list(seq[pos:pos + ln])
+            for j in range(len(s)):
+                if rng.random() < 0.02:
+                    s[j] = rng.choice("ACGT")
+            if rng.random() < 0.5:
+                s = [comp[c] for c in reversed(s)]
+            f.write(f"@L{i}\n{''.join(s)}\n+\n{'I' * len(s)}\n")
     log("indexing (ours)")
     from ibwa_tpu.index.builder import bwa_index
     bwa_index(str(fa))
@@ -98,23 +168,27 @@ def build_oracle() -> pathlib.Path | None:
     return binary if binary.exists() else None
 
 
+def ref_prefix(fa: pathlib.Path, binary) -> pathlib.Path:
+    ref_fa = WORK / f"genome_{GENOME_TAG}_ref.fa"
+    if not pathlib.Path(str(ref_fa) + ".bwt").exists():
+        ref_fa.write_bytes(fa.read_bytes())
+        log("indexing (reference)")
+        subprocess.run([str(binary), "index", str(ref_fa)], check=True,
+                       capture_output=True)
+    return ref_fa
+
+
 def baseline_reads_per_s(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
-    cache = WORK / "baseline.json"
+    cache = WORK / f"baseline_{GENOME_TAG}.json"
     if cache.exists():
         return json.loads(cache.read_text())["reads_per_s"]
     binary = build_oracle()
     if binary is None:
         return None
-    if not (WORK / "genome_ref.fa.bwt").exists():
-        ref_fa = WORK / "genome_ref.fa"
-        ref_fa.write_bytes(fa.read_bytes())
-        log("indexing (reference)")
-        subprocess.run([str(binary), "index", str(ref_fa)], check=True,
-                       capture_output=True)
+    rfa = ref_prefix(fa, binary)
     log("timing reference aln (1 thread)")
     t0 = time.perf_counter()
-    subprocess.run([str(binary), "aln", "-t", "1",
-                    str(WORK / "genome_ref.fa"), str(fq)],
+    subprocess.run([str(binary), "aln", "-t", "1", str(rfa), str(fq)],
                    check=True, capture_output=True)
     dt = time.perf_counter() - t0
     rps = N_READS / dt
@@ -122,10 +196,76 @@ def baseline_reads_per_s(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
     return rps
 
 
+def bench_stages(fa: pathlib.Path, extra: dict) -> None:
+    """samse / sampe / bwasw stage throughput, ours vs the oracle.
+
+    Both consume the SAME .sai inputs (ours — byte-identical to the
+    oracle's by the parity suite), isolating the SAM-stage cost."""
+    binary = REPO / ".refsrc" / "ibwa"
+    if not binary.exists():
+        return
+    rfa = ref_prefix(fa, binary)
+    fq1 = WORK / f"pairs_{GENOME_TAG}_1.fq"
+    fq2 = WORK / f"pairs_{GENOME_TAG}_2.fq"
+    fql = WORK / f"long_{GENOME_TAG}.fq"
+    s1 = WORK / f"pairs_{GENOME_TAG}_1.sai"
+    s2 = WORK / f"pairs_{GENOME_TAG}_2.sai"
+    from ibwa_tpu.align.opts import GapOpt
+    from ibwa_tpu.align.pipeline import aln_to_stream
+    if not s1.exists() or not s2.exists():
+        log("aln for sampe inputs")
+        for fqx, sx in ((fq1, s1), (fq2, s2)):
+            with open(sx, "wb") as f:
+                aln_to_stream(str(fa), str(fqx), GapOpt(), f)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    # sampe
+    from ibwa_tpu.sam.sampe import PeOpt, sai2sam_pe
+    import io
+    t_ours = timed(lambda: sai2sam_pe(
+        [str(fa)], [(str(s1), str(s2))], str(fq1), str(fq2),
+        PeOpt(remapping=1), out=io.StringIO()))
+    t_ref = timed(lambda: subprocess.run(
+        [str(binary), "sampe", "-R", str(rfa), str(s1), str(s2),
+         str(fq1), str(fq2)], check=True, capture_output=True))
+    extra["sampe_reads_per_s"] = round(2 * N_PAIRS / t_ours, 1)
+    extra["sampe_vs_ref"] = round(t_ref / t_ours, 3)
+    log(f"sampe: ours {2*N_PAIRS/t_ours:.0f} reads/s vs ref "
+        f"{2*N_PAIRS/t_ref:.0f} -> {t_ref/t_ours:.2f}x")
+
+    # samse
+    from ibwa_tpu.sam.bwase import sai2sam_se
+    t_ours = timed(lambda: sai2sam_se(str(fa), str(s1), str(fq1),
+                                      out=io.StringIO()))
+    t_ref = timed(lambda: subprocess.run(
+        [str(binary), "samse", str(rfa), str(s1), str(fq1)],
+        check=True, capture_output=True))
+    extra["samse_reads_per_s"] = round(N_PAIRS / t_ours, 1)
+    extra["samse_vs_ref"] = round(t_ref / t_ours, 3)
+    log(f"samse: ours {N_PAIRS/t_ours:.0f} reads/s vs ref "
+        f"{N_PAIRS/t_ref:.0f} -> {t_ref/t_ours:.2f}x")
+
+    # bwasw
+    from ibwa_tpu.bwasw.aux import Bsw2Opt, bsw2_aln
+    t_ours = timed(lambda: bsw2_aln(Bsw2Opt(), str(fa), str(fql),
+                                    out=io.StringIO()))
+    t_ref = timed(lambda: subprocess.run(
+        [str(binary), "bwasw", str(rfa), str(fql)], check=True,
+        capture_output=True))
+    extra["bwasw_reads_per_s"] = round(N_LONG / t_ours, 1)
+    extra["bwasw_vs_ref"] = round(t_ref / t_ours, 3)
+    log(f"bwasw: ours {N_LONG/t_ours:.0f} reads/s vs ref "
+        f"{N_LONG/t_ref:.0f} -> {t_ref/t_ours:.2f}x")
+
+
 def main() -> None:
     fa, fq = ensure_inputs()
 
-    from ibwa_tpu.align.engine_jax import JaxAlnEngine
+    from ibwa_tpu.align.engine_jax import (ACAP, HCAP, JaxAlnEngine)
     from ibwa_tpu.align.opts import GapOpt
     from ibwa_tpu.fm.fmindex import FmIndex
     from ibwa_tpu.index.builder import load_index
@@ -139,21 +279,53 @@ def main() -> None:
     rseqs = [r.rseq for r in reads]
     eng = JaxAlnEngine(fms)
 
-    log("warmup/compile")
+    log("warmup/compile (first compile of a new config takes minutes; "
+        "cached in .jaxcache afterwards)")
     # warm the exact dispatch bucket the timed run uses (shapes are static)
     eng.align_batch(seqs, rseqs, opt)
 
     log(f"timing {len(seqs)} reads")
     t0 = time.perf_counter()
+    eng.stats["iterations"] = 0
     eng.align_batch(seqs, rseqs, opt)
     dt = time.perf_counter() - t0
     rps = len(seqs) / dt
     log(f"ours: {rps:.0f} reads/s ({dt:.2f}s), stats={eng.stats}")
 
+    # modeled HBM traffic of the device search (per step: 5 stack planes
+    # in+out through the Pallas kernel + width/meta planes + occ gathers)
+    # vs the v5e's ~819 GB/s — the roofline analog for this gather-bound,
+    # MXU-free workload
+    steps = eng.stats["iterations"]
+    B, L = 1024, 104
+    step_bytes = (5 * B * ACAP * 4 * 2          # stack planes (r+w)
+                  + 3 * B * 2 * (L + 34) * 4 * 2  # w/bid/meta planes
+                  + B * 2 * 48 * (1 + 1)        # occ4 + unroll occ1 rows
+                  + B * 3 * HCAP * 0)           # hit scatters (sparse)
+    hbm_gbs = step_bytes * steps / dt / 1e9
+    extra = {
+        "device_reads": eng.stats["device_reads"],
+        "fallback_reads": eng.stats["fallback_reads"],
+        "host_reads": eng.stats["host_reads"],
+        "host_frac": eng.stats.get("host_frac"),
+        "modeled_device_hbm_GBps": round(hbm_gbs, 1),
+        "modeled_hbm_utilization": round(hbm_gbs / 819.0, 4),
+    }
+    log(f"modeled device HBM traffic {hbm_gbs:.0f} GB/s "
+        f"({100*hbm_gbs/819:.1f}% of v5e peak) over {steps} steps")
+
     base = baseline_reads_per_s(fa, fq)
     vs = rps / base if base else None
     if base:
         log(f"reference 1-core: {base:.0f} reads/s -> {vs:.2f}x")
+
+    try:
+        bench_stages(fa, extra)
+    except Exception as e:  # secondary metrics must not sink the headline
+        log(f"stage benchmarks failed: {e}")
+
+    (WORK / "bench_extra.json").write_text(json.dumps(extra, indent=1))
+    log(f"extra metrics: {json.dumps(extra)}")
     print(json.dumps({
         "metric": "aln_reads_per_s_per_chip",
         "value": round(rps, 1),

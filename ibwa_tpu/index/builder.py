@@ -104,6 +104,44 @@ def build_bwt_index(codes: np.ndarray, sa_intv: int = formats.SA_INTERVAL
     return idx
 
 
+def _pack_codes(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack (the .pac byte layout, base i at bits (~i&3)<<1)."""
+    n = len(codes)
+    padded = np.zeros(((n + 3) // 4) * 4, dtype=np.uint8)
+    padded[:n] = codes
+    g = padded.reshape(-1, 4)
+    return ((g[:, 0] << 6) | (g[:, 1] << 4) | (g[:, 2] << 2)
+            | g[:, 3]).astype(np.uint8)
+
+
+def build_bwt_index_packed(pac_bytes: np.ndarray, seq_len: int,
+                           l2: np.ndarray, reverse: bool,
+                           sa_intv: int = formats.SA_INTERVAL) -> BwtIndex:
+    """Bounded-memory FM-index build from a PACKED text (the >2 Gbp
+    path; see native.bwt_packed).  reverse=True indexes the reversed
+    text without materializing it (.rbwt/.rsa)."""
+    bwt_pac, primary = native.bwt_packed(pac_bytes, seq_len, reverse)
+    # words straight from packed bytes: 4 pac bytes big-endian == one
+    # u32 word in the reference layout (code i at bits (15-(i&15))*2)
+    nb = len(bwt_pac)
+    padded = np.zeros(((nb + 3) // 4) * 4, dtype=np.uint8)
+    padded[:nb] = bwt_pac
+    del bwt_pac
+    b = padded.reshape(-1, 4).astype(np.uint32)
+    words = ((b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3])
+    del b, padded
+    n_words = (seq_len + 15) >> 4
+    words = np.ascontiguousarray(words[:n_words])
+    interleaved = formats.interleave_occ(words, seq_len)
+    del words
+    idx = BwtIndex(primary=primary, L2=l2, seq_len=seq_len,
+                   interleaved=interleaved)
+    if sa_intv:
+        idx.sa_intv = sa_intv
+        idx.sa = native.cal_sa(interleaved, primary, l2, seq_len, sa_intv)
+    return idx
+
+
 NST_COLOR_SPACE_TABLE = [4, 0, 0, 1, 0, 2, 3, 4, 0, 3, 2, 4, 1, 4, 4, 4]
 
 
@@ -139,6 +177,27 @@ def bwa_index(fa_path: str, prefix: str | None = None,
     else:
         bns, codes = fasta_to_bnt(fa_path, prefix)
     formats.write_rpac(prefix + ".rpac", codes)
+
+    # >2 Gbp path (the reference's `index -a bwtsw` territory,
+    # bwtindex.c:110-137): bounded-memory build over the packed text —
+    # ~4.4 bytes/base peak instead of the in-memory SA-IS's ~13+.
+    # IBWA_FRUGAL_MIN overrides the threshold (used by tests).
+    import os
+    frugal_min = int(os.environ.get("IBWA_FRUGAL_MIN", (1 << 31) - 2))
+    if len(codes) >= frugal_min:
+        seq_len = len(codes)
+        l2 = np.zeros(5, dtype=np.uint64)
+        l2[1:] = np.cumsum(np.bincount(codes, minlength=4))
+        l2 = l2.astype(np.uint32)
+        pac_bytes = _pack_codes(codes)
+        del codes
+        for reverse, bwt_name, sa_name in ((False, ".bwt", ".sa"),
+                                           (True, ".rbwt", ".rsa")):
+            idx = build_bwt_index_packed(pac_bytes, seq_len, l2, reverse)
+            formats.write_bwt(prefix + bwt_name, idx)
+            formats.write_sa(prefix + sa_name, idx)
+            del idx
+        return
 
     fwd = build_bwt_index(codes)
     formats.write_bwt(prefix + ".bwt", fwd)

@@ -16,7 +16,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "src", "core.cpp"),
          os.path.join(_HERE, "src", "pe_stage.cpp"),
-         os.path.join(_HERE, "src", "bsw2.cpp")]
+         os.path.join(_HERE, "src", "bsw2.cpp"),
+         os.path.join(_HERE, "src", "sais_frugal.cpp")]
 _SRC = _SRCS[0]
 _LIB = os.path.join(_HERE, "libibwa_native.so")
 
@@ -111,6 +112,9 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i64p, i32p, i64p, i32p, ctypes.c_int32]
         lib.ibwa_bsw2_core.restype = ctypes.c_int32
+        lib.ibwa_bwt_packed32.argtypes = [u8p, ctypes.c_uint32, u32p, u8p,
+                                          ctypes.c_int32]
+        lib.ibwa_bwt_packed32.restype = ctypes.c_int64
         lib.ibwa_match_gap_batch.argtypes = [
             u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
             ctypes.c_uint32, u8p, u8p, i64p, i32p, i32p, i32p, i32p,
@@ -153,6 +157,29 @@ def bwt_inplace(text: np.ndarray) -> tuple[np.ndarray, int]:
     if primary < 0:
         raise RuntimeError("ibwa_bwt_inplace failed")
     return buf, int(primary)
+
+
+def bwt_packed(pac_bytes: np.ndarray, seq_len: int, reverse: bool = False
+               ) -> tuple[np.ndarray, int]:
+    """Bounded-memory BWT of a 2-bit PACKED text (sais_frugal.cpp).
+
+    Peak footprint ~ 4 bytes/base (the u32 suffix array) + n/8 type bits
+    + the packed in/out buffers — ~13.5 GB for 3.2 Gbp, the reference's
+    `index -a bwtsw` territory (bwa.1:450).  Returns (packed_bwt,
+    primary); output is byte-identical to the SA-IS path (the BWT is
+    unique)."""
+    lib = load()
+    pac_bytes = np.ascontiguousarray(pac_bytes, dtype=np.uint8)
+    sa = np.empty(seq_len, dtype=np.uint32)
+    out = np.zeros((seq_len + 3) // 4, dtype=np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    primary = lib.ibwa_bwt_packed32(
+        pac_bytes.ctypes.data_as(u8), seq_len, _u32(sa),
+        out.ctypes.data_as(u8), 1 if reverse else 0)
+    if primary < 0:
+        raise RuntimeError("ibwa_bwt_packed32 failed")
+    del sa
+    return out, int(primary)
 
 
 def cal_sa(interleaved: np.ndarray, primary: int, l2: np.ndarray,

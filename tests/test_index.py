@@ -118,3 +118,42 @@ def test_read_back_roundtrip(tmp_path):
     formats.write_pac(str(tmp_path / "x.pac"), codes)
     np.testing.assert_array_equal(formats.read_pac(str(tmp_path / "x.pac")),
                                   codes)
+
+
+def test_frugal_bwt_matches_sais(tmp_path, monkeypatch):
+    """The bounded-memory packed-text builder (sais_frugal.cpp, the >2 Gbp
+    `index -a bwtsw` replacement) produces byte-identical artifacts."""
+    import filecmp
+    rng = np.random.RandomState(77)
+
+    def write_fa(path, contigs):
+        with open(path, "w") as f:
+            for name, seq in contigs:
+                f.write(f">{name}\n{seq}\n")
+
+    bases = np.array(list("ACGT"))
+    seq1 = "".join(bases[rng.randint(0, 4, 40011)])
+    seq2 = ("".join(bases[rng.randint(0, 4, 503)])
+            + "N" * 7 + "".join(bases[rng.randint(0, 4, 9000)]))
+    fa1, fa2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    write_fa(fa1, [("c1", seq1), ("c2", seq2)])
+    write_fa(fa2, [("c1", seq1), ("c2", seq2)])
+    builder.bwa_index(str(fa1))
+    monkeypatch.setenv("IBWA_FRUGAL_MIN", "1")
+    builder.bwa_index(str(fa2))
+    for ext in ("pac", "rpac", "ann", "amb", "bwt", "rbwt", "sa", "rsa"):
+        assert filecmp.cmp(f"{fa1}.{ext}", f"{fa2}.{ext}",
+                           shallow=False), ext
+
+    # direct property check: packed path == unpacked SA-IS on both strands
+    codes = rng.randint(0, 4, 5000).astype(np.uint8)
+    pac = builder._pack_codes(codes)
+    for reverse in (False, True):
+        src = codes[::-1].copy() if reverse else codes.copy()
+        bwt_u, prim_u = native.bwt_inplace(src)
+        bwt_p, prim_p = native.bwt_packed(pac, len(codes), reverse=reverse)
+        unp = np.zeros(len(codes), np.uint8)
+        idx = np.arange(len(codes))
+        unp = (bwt_p[idx >> 2] >> (((~idx) & 3) << 1)).astype(np.uint8) & 3
+        assert prim_p == prim_u
+        np.testing.assert_array_equal(unp, bwt_u)
