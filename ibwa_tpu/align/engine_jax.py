@@ -931,11 +931,12 @@ class JaxAlnEngine:
         for lo in range(0, host_lo, chunk_n):
             hi = min(lo + chunk_n, host_lo)
             B = hi - lo
-            # pad the dispatch to a power of two (per device) to bound
-            # recompiles; always divisible by the mesh size
-            PB = DEV_BATCH * self.n_dev
-            while PB < B:
-                PB *= 2
+            # ONE dispatch shape per engine config: the tail chunk pads up
+            # to the same PB as full chunks.  A second (smaller) bucket
+            # costs a full XLA compile (~6 min for this engine) on first
+            # sight plus a per-process executable load — far more than the
+            # few padded lanes ever cost.
+            PB = chunk_n
             sq = np.full((PB, 2, L), 4, dtype=np.uint8)
             ssq = np.full((PB, 2, SL), 4, dtype=np.uint8)
             hs = np.zeros(PB, dtype=bool)
@@ -1019,7 +1020,7 @@ class JaxAlnEngine:
             done_pool = n_host + n_fb
             per_read = self._host_busy / max(done_pool, 1)
             want = t_dev / per_read - n_fb
-            f_star = min(max(want / n_reads, 0.02), 0.7)
+            f_star = min(max(want / n_reads, 0.02), 0.85)
             self.host_frac = 0.5 * self.host_frac + 0.5 * f_star
         self.stats["host_frac"] = round(self.host_frac, 3)
         return out  # type: ignore[return-value]

@@ -55,6 +55,55 @@ def trim_len(qual: bytes, full_len: int, trim_qual: int) -> int:
 BARCODE_LOW_QUAL = 13
 
 
+def _load_reads_fast(path: str, is_comp: bool) -> list[Read] | None:
+    """Vectorized plain-FASTQ fast path (no trim/barcode/offset-64): one
+    pass over the whole file, one NT4 translate + complement over the
+    concatenated bases, per-read arrays as views.  The per-record Python
+    loop costs ~80 us/read on this host — 47 s of a 300k-pair sampe run
+    went to read loading before this."""
+    import gzip
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if not head.startswith(b"@") or head[:2] == b"\x1f\x8b":
+            return None
+        data = head + f.read()
+    lines = data.split(b"\n")
+    if lines and not lines[-1]:
+        lines.pop()
+    if len(lines) % 4:
+        return None
+    names_b = lines[0::4]
+    seqs_b = lines[1::4]
+    quals_b = lines[3::4]
+    lens = np.array([len(s) for s in seqs_b], dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    cat = np.frombuffer(b"".join(seqs_b), dtype=np.uint8)
+    codes_all = NT4_TABLE[cat]
+    comp_all = codes_all.copy()
+    m = comp_all < 4
+    comp_all[m] = 3 - comp_all[m]
+    reads = []
+    for i, nb in enumerate(names_b):
+        name = nb[1:].split()[0].decode("latin-1")
+        if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+            name = name[:-2]
+        a, b = int(starts[i]), int(starts[i] + lens[i])
+        codes = codes_all[a:b]
+        rs = comp_all[a:b] if is_comp else codes
+        reads.append(Read(
+            name=name,
+            seq=codes[::-1],
+            rseq=rs[::-1],
+            qual=quals_b[i] or None,
+            full_len=b - a,
+            clip_len=b - a,
+            orig=codes,
+            bc="",
+        ))
+    return reads
+
+
 def load_reads(path: str, trim_qual: int = 0, is_64: bool = False,
                is_comp: bool = True, l_bc: int = 0) -> list[Read]:
     # is_comp=False (color space): rseq is the plain reverse
@@ -62,6 +111,10 @@ def load_reads(path: str, trim_qual: int = 0, is_64: bool = False,
     # leading barcode (bwaseqio.c:163-177)
     if l_bc > 15:
         raise ValueError("the maximum barcode length is 15")
+    if trim_qual < 1 and not is_64 and not l_bc:
+        fast = _load_reads_fast(path, is_comp)
+        if fast is not None:
+            return fast
     reads = []
     for rec in read_fastx(path):
         if len(rec.seq) <= l_bc:

@@ -17,7 +17,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "src", "core.cpp"),
          os.path.join(_HERE, "src", "pe_stage.cpp"),
          os.path.join(_HERE, "src", "bsw2.cpp"),
-         os.path.join(_HERE, "src", "sais_frugal.cpp")]
+         os.path.join(_HERE, "src", "sais_frugal.cpp"),
+         os.path.join(_HERE, "src", "sam_text.cpp")]
 _SRC = _SRCS[0]
 _LIB = os.path.join(_HERE, "libibwa_native.so")
 
@@ -115,6 +116,11 @@ def load() -> ctypes.CDLL:
         lib.ibwa_bwt_packed32.argtypes = [u8p, ctypes.c_uint32, u32p, u8p,
                                           ctypes.c_int32]
         lib.ibwa_bwt_packed32.restype = ctypes.c_int64
+        lib.ibwa_cal_md.argtypes = [
+            u32p, ctypes.c_int32, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_int64, i32p]
+        lib.ibwa_cal_md.restype = ctypes.c_int64
         lib.ibwa_match_gap_batch.argtypes = [
             u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
             ctypes.c_uint32, u8p, u8p, i64p, i32p, i32p, i32p, i32p,

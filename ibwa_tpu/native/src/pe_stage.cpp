@@ -151,7 +151,38 @@ struct PeCtx {
   // registered .sai batches: [end][db]
   SaiBatch sai[2][16];
   int n_db = 0;
+  // SA-interval position cache (the reference's bwtcache, bwtcache.c:43-59
+  // + filter_alignments.cpp:77-102): wide intervals recur across reads on
+  // repeat-rich genomes; memoize the raw SA-walk values per
+  // (db, strand, k, l) for intervals >= MIN_HASH_WIDTH.
+  std::unordered_map<uint64_t, std::vector<uint32_t>> sa_cache[16][2];
 };
+
+constexpr int64_t MIN_HASH_WIDTH = 1000;  // filter_alignments.cpp:10
+
+// raw walk values for [k, l] of one db/strand, cached when wide
+static const std::vector<uint32_t>& cached_walk(PeCtx& ctx, int dbidx,
+                                                int strand, uint32_t k,
+                                                uint32_t l,
+                                                std::vector<uint32_t>& tmp) {
+  const PeDb& db = ctx.dbs[dbidx];
+  const SaIndex& idx = strand ? db.fwd : db.rev;
+  int64_t width = (int64_t)l - k + 1;
+  if (width < MIN_HASH_WIDTH) {
+    tmp.clear();
+    tmp.reserve(width);
+    for (uint32_t s = k; s <= l; ++s) tmp.push_back(sa_walk(idx, s));
+    return tmp;
+  }
+  uint64_t key = ((uint64_t)k << 32) | l;
+  auto& slot = ctx.sa_cache[dbidx][strand];
+  auto it = slot.find(key);
+  if (it != slot.end()) return it->second;
+  std::vector<uint32_t> v;
+  v.reserve(width);
+  for (uint32_t s = k; s <= l; ++s) v.push_back(sa_walk(idx, s));
+  return slot.emplace(key, std::move(v)).first->second;
+}
 
 // global position -> local db sa2seq (bwtdb_sa2seq, dbset.c:239-246)
 static int64_t sa2seq(const PeDb& db, int strand, uint32_t sa,
@@ -575,8 +606,14 @@ static void compute_coords(PeCtx& ctx, const std::vector<AlnRec> aln[2],
       const AlnRec& ar = aln[j][k];
       if (ar.score < min_score) min_score = ar.score;
       const PeDb& db = ctx.dbs[ar.dbidx];
+      std::vector<uint32_t> tmp;
+      const std::vector<uint32_t>& walks =
+          cached_walk(ctx, ar.dbidx, ar.a, ar.k, ar.l, tmp);
       for (uint64_t sa = ar.k; sa <= (uint64_t)ar.l; ++sa) {
-        int64_t pos = sa2seq(db, ar.a, (uint32_t)sa, p[j].len);
+        uint32_t wv = walks[sa - ar.k];
+        int64_t pos = ar.a ? db.offset + (int64_t)wv
+                           : db.offset + (int64_t)db.seq_len -
+                                 ((int64_t)wv + p[j].len);
         if (pos < db.offset || pos >= db.offset + db.l_pac) continue;
         Position ap;
         ap.pos = (uint64_t)pos;

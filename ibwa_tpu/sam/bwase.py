@@ -291,7 +291,14 @@ def _md_span(out: list[str], ref: np.ndarray, sub: np.ndarray, u: int
 def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
             seq: np.ndarray, dbs: DbSet, nt: bool = False
             ) -> tuple[str, int]:
-    """bwa_cal_md1 (bwase.c:243-295): MD tag + NM count."""
+    """bwa_cal_md1 (bwase.c:243-295): MD tag + NM count.
+
+    The walk itself runs natively (sam_text.cpp) with ONE reference
+    extraction for the whole span; IBWA_PURE_PY=1 forces this Python
+    implementation (the oracle)."""
+    import os
+    if not os.environ.get("IBWA_PURE_PY"):
+        return _cal_md1_native(cigar, length, pos, seq, dbs, nt)
     out = []
     nm = 0
     x, y, u = pos, 0, 0
@@ -329,6 +336,57 @@ def cal_md1(n_cigar: int, cigar: list[int] | None, length: int, pos: int,
             u, nm = _md_span(out, ref, seq[:len(ref)], u)
     out.append(f"{u}")
     return "".join(out), nm
+
+
+_MD_STATE: list | None = None
+
+
+def _cal_md1_native(cigar: list[int] | None, length: int, pos: int,
+                    seq: np.ndarray, dbs: DbSet, nt: bool) -> tuple[str, int]:
+    import ctypes
+
+    global _MD_STATE
+    if _MD_STATE is None:
+        lib = native.load()
+        _MD_STATE = [lib, ctypes.create_string_buffer(1 << 16),
+                     np.zeros(1, dtype=np.int32),
+                     np.zeros(1, np.int32).ctypes.data_as(
+                         ctypes.POINTER(ctypes.c_int32))]
+        _MD_STATE[3] = _MD_STATE[2].ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+    lib, out, nm, nm_p = _MD_STATE
+    if cigar:
+        need = sum(cigar_len(c) for c in cigar
+                   if cigar_op(c) in (FROM_M, FROM_D))
+        carr = np.asarray(cigar, dtype=np.uint32)
+        ncig = len(cigar)
+    else:
+        need = length
+        carr = _MD_ZCIG
+        ncig = 0
+    span = min(need, max(dbs.l_pac - pos, 0))
+    ref = (dbs.extract_sequence(pos, span, nt=nt) if span > 0
+           else _MD_ZREF)
+    if not ref.flags.c_contiguous:
+        ref = np.ascontiguousarray(ref)
+    read = seq if seq.flags.c_contiguous else np.ascontiguousarray(seq)
+    cap = 16 + 2 * need + 12 * (ncig + 1) + len(read)
+    if cap > len(out):
+        out = ctypes.create_string_buffer(2 * cap)
+        _MD_STATE[1] = out
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.ibwa_cal_md(
+        carr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), ncig,
+        ref.ctypes.data_as(u8p), len(ref), pos, dbs.l_pac,
+        read.ctypes.data_as(u8p), length, out, cap, nm_p)
+    if n < 0:
+        raise RuntimeError("ibwa_cal_md: buffer overflow")
+    import ctypes as _ct
+    return _ct.string_at(out, n).decode("ascii"), int(nm[0])
+
+
+_MD_ZCIG = np.zeros(1, dtype=np.uint32)
+_MD_ZREF = np.zeros(0, dtype=np.uint8)
 
 
 def correct_trimmed(s: AlnSeq) -> None:

@@ -220,64 +220,39 @@ class PeNative:
 
 
 def _pack_state(seqs):
+    """AlnSeq fields -> flat arrays; built via Python lists (a numpy
+    scalar store per field costs ~10x a list append at 600k reads)."""
     n = len(seqs[0])
-    lens = np.empty(2 * n, dtype=np.int32)
-    fulls = np.empty(2 * n, dtype=np.int32)
-    i64 = np.zeros(2 * n * NF64, dtype=np.int64)
-    i32 = np.zeros(2 * n * NF32, dtype=np.int32)
+    lens_l, fulls_l, i64_l, i32_l = [], [], [], []
     for i in range(n):
         for j in range(2):
-            e = 2 * i + j
             s = seqs[j][i]
-            lens[e] = s.len
-            fulls[e] = s.read.full_len
-            o = e * NF64
-            i64[o + 0] = s.pos
-            i64[o + 1] = s.remapped_pos
-            i64[o + 2] = s.sa
-            i64[o + 3] = s.c1
-            i64[o + 4] = s.c2
-            o = e * NF32
-            i32[o + 0] = s.type
-            i32[o + 1] = s.strand
-            i32[o + 2] = s.n_mm
-            i32[o + 3] = s.n_gapo
-            i32[o + 4] = s.n_gape
-            i32[o + 5] = s.score
-            i32[o + 6] = s.mapQ
-            i32[o + 7] = s.seQ
-            i32[o + 8] = s.dbidx
-            i32[o + 9] = s.remapped_seqid
-            i32[o + 10] = s.remap_identical
-            i32[o + 11] = s.extra_flag
-    return lens, fulls, i64, i32
+            lens_l.append(s.len)
+            fulls_l.append(s.read.full_len)
+            i64_l += (s.pos, s.remapped_pos, s.sa, s.c1, s.c2)
+            i32_l += (s.type, s.strand, s.n_mm, s.n_gapo, s.n_gape,
+                      s.score, s.mapQ, s.seQ, s.dbidx, s.remapped_seqid,
+                      s.remap_identical, s.extra_flag)
+    return (np.array(lens_l, dtype=np.int32),
+            np.array(fulls_l, dtype=np.int32),
+            np.array(i64_l, dtype=np.int64),
+            np.array(i32_l, dtype=np.int32))
 
 
 def _unpack_state(seqs, i64, i32):
     n = len(seqs[0])
+    v64 = i64.tolist()
+    v32 = i32.tolist()
     for i in range(n):
         for j in range(2):
             e = 2 * i + j
             s = seqs[j][i]
             o = e * NF64
-            s.pos = int(i64[o + 0])
-            s.remapped_pos = int(i64[o + 1])
-            s.sa = int(i64[o + 2])
-            s.c1 = int(i64[o + 3])
-            s.c2 = int(i64[o + 4])
+            (s.pos, s.remapped_pos, s.sa, s.c1, s.c2) = v64[o:o + NF64]
             o = e * NF32
-            s.type = int(i32[o + 0])
-            s.strand = int(i32[o + 1])
-            s.n_mm = int(i32[o + 2])
-            s.n_gapo = int(i32[o + 3])
-            s.n_gape = int(i32[o + 4])
-            s.score = int(i32[o + 5])
-            s.mapQ = int(i32[o + 6])
-            s.seQ = int(i32[o + 7])
-            s.dbidx = int(i32[o + 8])
-            s.remapped_seqid = int(i32[o + 9])
-            s.remap_identical = int(i32[o + 10])
-            s.extra_flag = int(i32[o + 11])
+            (s.type, s.strand, s.n_mm, s.n_gapo, s.n_gape, s.score,
+             s.mapQ, s.seQ, s.dbidx, s.remapped_seqid, s.remap_identical,
+             s.extra_flag) = v32[o:o + NF32]
             if s.type == 0:  # unmapped: clear cigar like unmap_read
                 s.cigar = None
 
