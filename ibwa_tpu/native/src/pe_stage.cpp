@@ -156,9 +156,16 @@ struct PeCtx {
   // repeat-rich genomes; memoize the raw SA-walk values per
   // (db, strand, k, l) for intervals >= MIN_HASH_WIDTH.
   std::unordered_map<uint64_t, std::vector<uint32_t>> sa_cache[16][2];
+  size_t cache_vals = 0;
 };
 
-constexpr int64_t MIN_HASH_WIDTH = 1000;  // filter_alignments.cpp:10
+// The reference caches >=1000-wide intervals (filter_alignments.cpp:10)
+// because its cache has mutex costs; ours is single-threaded per batch,
+// so caching every recurring interval >= 8 wide is strictly cheaper
+// (pure function of (db, strand, k, l) — behavior-neutral).  A size cap
+// bounds pathological corpora.
+constexpr int64_t MIN_HASH_WIDTH = 8;
+constexpr size_t CACHE_MAX_VALS = 64u << 20;  // 64M positions ~ 256 MB
 
 // raw walk values for [k, l] of one db/strand, cached when wide
 static const std::vector<uint32_t>& cached_walk(PeCtx& ctx, int dbidx,
@@ -181,6 +188,11 @@ static const std::vector<uint32_t>& cached_walk(PeCtx& ctx, int dbidx,
   std::vector<uint32_t> v;
   v.reserve(width);
   for (uint32_t s = k; s <= l; ++s) v.push_back(sa_walk(idx, s));
+  if (ctx.cache_vals > CACHE_MAX_VALS) {
+    tmp = std::move(v);
+    return tmp;
+  }
+  ctx.cache_vals += (size_t)width;
   return slot.emplace(key, std::move(v)).first->second;
 }
 
@@ -1061,6 +1073,110 @@ int64_t ibwa_pe_pe_stage(void* pctx, int64_t n_reads, const int32_t* lens,
   }
   *rng_state = rng.x;
   return cnt_chg;
+}
+
+// samse selection (bwa_aln2seq_core, bwase.c:29-104): weighted-random
+// primary pick + multi-hit enumeration over ONE db's groups (end 0).
+// Field layout matches ibwa_pe_se_stage's; multi entries carry the SA
+// INDEX in pos (resolved later by the batched cal_pac_pos).
+void ibwa_se_stage(void* pctx, int64_t n_reads, int32_t n_occ,
+                   uint64_t* rng_state, int64_t* io_i64, int32_t* io_i32,
+                   int32_t multi_cap, int32_t* out_multi_cnt,
+                   int64_t* out_multi_pos, int32_t* out_multi_meta) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  Rng rng{*rng_state};
+  std::vector<AlnRec> ag;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    build_group(*ctx, 0, i, &ag);
+    int64_t* f64 = io_i64 + i * NF64;
+    int32_t* f32 = io_i32 + i * NF32;
+    out_multi_cnt[i] = 0;
+    if (ag.empty()) {
+      f32[G_TYPE] = TYPE_NO_MATCH;
+      f64[F_C1] = f64[F_C2] = 0;
+      continue;
+    }
+    // set_main (bwase.c:36-61)
+    int32_t best = ag[0].score;
+    int64_t cnt = 0;
+    size_t i2 = 0;
+    while (i2 < ag.size()) {
+      const AlnRec& p = ag[i2];
+      if (p.score > best) break;
+      int64_t naln = (int64_t)p.l - (int64_t)p.k + 1;
+      if (rng.next() * (double)(naln + cnt) > (double)cnt) {
+        f32[G_NMM] = p.n_mm;
+        f32[G_NGAPO] = p.n_gapo;
+        f32[G_NGAPE] = p.n_gape;
+        f32[G_STRAND] = p.a;
+        f32[G_SCORE] = p.score;
+        f64[F_SA] = (int64_t)p.k + (int64_t)(naln * rng.next());
+      }
+      cnt += naln;
+      ++i2;
+    }
+    f64[F_C1] = cnt;
+    for (size_t t = i2; t < ag.size(); ++t)
+      cnt += (int64_t)ag[t].l - (int64_t)ag[t].k + 1;
+    f64[F_C2] = cnt - f64[F_C1];
+    f32[G_TYPE] = f64[F_C1] > 1 ? TYPE_REPEAT : TYPE_UNIQUE;
+
+    // multi enumeration (bwase.c:63-104)
+    if (n_occ) {
+      int64_t total = 0;
+      for (const AlnRec& q : ag) total += (int64_t)q.l - (int64_t)q.k + 1;
+      if (total > n_occ + 1) continue;  // too many hits: none
+      int64_t rest = total;
+      int64_t w = 0;
+      bool done = false;
+      for (const AlnRec& q : ag) {
+        if (done) break;
+        int64_t width = (int64_t)q.l - (int64_t)q.k + 1;
+        if (width <= rest) {
+          for (int64_t s = (int64_t)q.k; s <= (int64_t)q.l; ++s) {
+            if (s == f64[F_SA]) continue;  // filtered below in Python? no:
+            // NOTE: the Python filters z by pos != s.sa AFTER building;
+            // order is preserved by filtering inline here
+            if (w < multi_cap && w < n_occ) {
+              out_multi_pos[i * multi_cap + w] = s;
+              int32_t* m = out_multi_meta + (i * multi_cap + w) * 4;
+              m[0] = q.n_gapo + q.n_gape;
+              m[1] = q.n_mm;
+              m[2] = q.a;
+              m[3] = 0;
+              ++w;
+            }
+          }
+          rest -= width;
+        } else {  // "we never come here"
+          int64_t j = rest;
+          int64_t ii = width;
+          while (j > 0) {
+            double pp = 1.0;
+            double x = rng.next();
+            while (x < pp) {
+              pp -= pp * (double)j / (double)ii;
+              --ii;
+            }
+            int64_t s = (int64_t)q.l - ii;
+            if (s != f64[F_SA] && w < multi_cap && w < n_occ) {
+              out_multi_pos[i * multi_cap + w] = s;
+              int32_t* m = out_multi_meta + (i * multi_cap + w) * 4;
+              m[0] = q.n_gapo + q.n_gape;
+              m[1] = q.n_mm;
+              m[2] = q.a;
+              m[3] = 0;
+              ++w;
+            }
+            --j;
+          }
+          done = true;
+        }
+      }
+      out_multi_cnt[i] = (int32_t)w;
+    }
+  }
+  *rng_state = rng.x;
 }
 
 // .sai batch scan: parse up to n_reads records from blob; writes per-read

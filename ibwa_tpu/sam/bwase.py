@@ -684,14 +684,36 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
                            is_comp=not color,
                            is_64=bool(opt.mode & 0x200),
                            l_bc=opt.mode >> 24)
+        import os
+        nat = None
+        if not os.environ.get("IBWA_PURE_PY"):
+            import dataclasses as _dc
+            from .pe_native import PeNative, scan_sai_batch
+
+            @_dc.dataclass
+            class _Popt:
+                remapping: int = 0
+
+            nat = PeNative(dbs, _Popt(), opt)
+            blob = fp.read()
+            cursor = 0
         for start in range(0, len(reads), BATCH):
             batch = reads[start:start + BATCH]
-            seqs = []
-            for r in batch:
-                s = AlnSeq(read=r)
-                hits = sai.read_read_hits(fp)
-                aln2seq_core(hits or [], s, True, n_occ, rng)
-                seqs.append(s)
+            if nat is not None:
+                from .pe_native import scan_sai_batch
+                counts, recs, used = scan_sai_batch(blob[cursor:],
+                                                    len(batch))
+                cursor += used
+                nat.set_sai_batch(0, 0, counts, recs, len(batch))
+                seqs = [AlnSeq(read=r) for r in batch]
+                nat.se_select(seqs, n_occ, rng)
+            else:
+                seqs = []
+                for r in batch:
+                    s = AlnSeq(read=r)
+                    hits = sai.read_read_hits(fp)
+                    aln2seq_core(hits or [], s, True, n_occ, rng)
+                    seqs.append(s)
             cal_pac_pos(dbs, seqs, opt.max_diff, opt.fnr)
             refine_gapped(dbs, seqs)
             for s in seqs:

@@ -56,6 +56,9 @@ def _lib():
     lib.ibwa_sai_scan.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                   i32p, u32p]
     lib.ibwa_sai_scan.restype = ctypes.c_int64
+    lib.ibwa_se_stage.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, u64p, i64p, i32p,
+        ctypes.c_int32, i32p, i64p, i32p]
     _sigs_done = True
     return lib
 
@@ -211,6 +214,44 @@ class PeNative:
                         strand=int(mmeta[b * 4 + 2]),
                         dbidx=int(mmeta[b * 4 + 3])))
         return int(cnt_chg)
+
+    def se_select(self, seqs, n_occ: int, rng) -> None:
+        """samse selection (bwa_aln2seq_core) for a batch whose groups
+        were registered via set_sai_batch(0, 0, ...).  Sets exactly the
+        fields the Python aln2seq_core sets; positions stay SA indexes
+        (cal_pac_pos resolves them, including multi hits)."""
+        n = len(seqs)
+        i64 = np.zeros(n * NF64, dtype=np.int64)
+        i32 = np.zeros(n * NF32, dtype=np.int32)
+        st = np.array([rng.x], dtype=np.uint64)
+        cap = max(n_occ, 1)
+        mc = np.zeros(n, dtype=np.int32)
+        mpos = np.zeros(n * cap, dtype=np.int64)
+        mmeta = np.zeros(n * cap * 4, dtype=np.int32)
+        self._lib.ibwa_se_stage(
+            self._ctx, n, n_occ, _ptr(st, ctypes.c_uint64),
+            _ptr(i64, ctypes.c_int64), _ptr(i32, ctypes.c_int32), cap,
+            _ptr(mc, ctypes.c_int32), _ptr(mpos, ctypes.c_int64),
+            _ptr(mmeta, ctypes.c_int32))
+        rng.x = int(st[0])
+        v64 = i64.tolist()
+        v32 = i32.tolist()
+        mcl = mc.tolist()
+        for i, s in enumerate(seqs):
+            o = i * NF64
+            s.sa, s.c1, s.c2 = v64[o + 2], v64[o + 3], v64[o + 4]
+            o = i * NF32
+            s.type = v32[o + 0]
+            s.strand = v32[o + 1]
+            s.n_mm = v32[o + 2]
+            s.n_gapo = v32[o + 3]
+            s.n_gape = v32[o + 4]
+            s.score = v32[o + 5]
+            s.multi = [Multi(pos=int(mpos[i * cap + t]),
+                             gap=int(mmeta[(i * cap + t) * 4 + 0]),
+                             mm=int(mmeta[(i * cap + t) * 4 + 1]),
+                             strand=int(mmeta[(i * cap + t) * 4 + 2]))
+                       for t in range(mcl[i])]
 
     def __del__(self):
         try:
