@@ -197,16 +197,32 @@ def interleave_occ(bwt_words: np.ndarray, seq_len: int) -> np.ndarray:
     """
     n_text_words = (seq_len + 15) >> 4
     assert len(bwt_words) == n_text_words
-    # per-base codes to compute cumulative counts at block boundaries
-    codes = np.empty(n_text_words * 16, dtype=np.uint8)
     w = bwt_words
-    for j in range(16):
-        codes[j::16] = ((w >> np.uint32((15 - j) * 2)) & np.uint32(3)).astype(np.uint8)
-    codes = codes[:seq_len]
-    onehot = np.zeros((4, seq_len + 1), dtype=np.uint64)
-    for c in range(4):
-        np.cumsum(codes == c, out=onehot[c][1:])
     n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    # occ checkpoints need cumulative counts only at BLOCK boundaries:
+    # count each code per word with a SWAR popcount, sum per 8-word
+    # block, cumsum over blocks.  (The previous per-base cumsum
+    # materialized 4*(seq_len+1) uint64 — ~99 GB at 3.1 Gbp.)
+    pad = n_text_words * 16 - seq_len
+    wblocks = n_blocks * 8
+    counts = np.zeros((4, wblocks), dtype=np.uint32)
+    for c in range(4):
+        t = ~(w ^ np.uint32(0x55555555 * c))
+        t &= t >> np.uint32(1)
+        t &= np.uint32(0x55555555)
+        t = t - ((t >> np.uint32(1)) & np.uint32(0x55555555))
+        t = (t & np.uint32(0x33333333)) + ((t >> np.uint32(2))
+                                           & np.uint32(0x33333333))
+        t = (t + (t >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+        cc = (t * np.uint32(0x01010101)) >> np.uint32(24)
+        if c == 0 and pad and n_text_words:
+            cc[-1] -= np.uint32(pad)   # padding bits count as code 0
+        counts[c, :n_text_words] = cc
+    blk = counts.reshape(4, n_blocks, 8).sum(axis=2, dtype=np.uint64)
+    cum = np.zeros((4, n_blocks + 1), dtype=np.uint64)
+    np.cumsum(blk, axis=1, out=cum[:, 1:])
+    del counts, blk
+    # cum[c][i] = count of code c before block i; cum[c][n_blocks] = total
     out_size = n_text_words + (n_blocks + 1) * 4
     out = np.zeros(out_size, dtype=np.uint32)
     # vectorized interleave: full blocks are 12 words (4 ckpt + 8 text);
@@ -215,20 +231,20 @@ def interleave_occ(bwt_words: np.ndarray, seq_len: int) -> np.ndarray:
     if full:
         body = out[: full * 12].reshape(full, 12)
         for c in range(4):
-            body[:, c] = onehot[c][np.arange(full) * OCC_INTERVAL]
+            body[:, c] = cum[c][:full]
         body[:, 4:] = w[: full * 8].reshape(full, 8)
     pos = full * 12
     widx = full * 8
     if n_blocks:
         for c in range(4):
-            out[pos + c] = onehot[c][full * OCC_INTERVAL]
+            out[pos + c] = cum[c][full]
         pos += 4
         rem = n_text_words - widx
         out[pos : pos + rem] = w[widx:]
         pos += rem
     # trailing checkpoint with the totals (bwtmisc.c:139-140)
     for c in range(4):
-        out[pos + c] = onehot[c][seq_len]
+        out[pos + c] = cum[c][n_blocks]
     pos += 4
     assert pos == out_size, (pos, out_size)
     return out
