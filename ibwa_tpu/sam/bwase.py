@@ -502,6 +502,7 @@ def cigar_str(cigar: list[int]) -> str:
 def print_sam1(dbs: DbSet, p: AlnSeq, mate: AlnSeq | None, mode: int,
                max_top2: int, out: TextIO, rg_id: str | None = None) -> None:
     """bwa_print_sam1 (bwase.c:451-581)."""
+    w: list = []   # one out.write per record
     r = p.read
     if p.type != TYPE_NO_MATCH or (mate and mate.type != TYPE_NO_MATCH):
         am = 0
@@ -529,122 +530,124 @@ def print_sam1(dbs: DbSet, p: AlnSeq, mate: AlnSeq | None, mode: int,
                     flag |= SAM_FMR
             else:
                 flag |= SAM_FMU
-        out.write(f"{r.name}\t{flag}\t{bns.anns[seqid].name}\t")
-        out.write(f"{p.pos - (bns.anns[seqid].offset + bnsoffset) + 1}"
+        w.append(f"{r.name}\t{flag}\t{bns.anns[seqid].name}\t")
+        w.append(f"{p.pos - (bns.anns[seqid].offset + bnsoffset) + 1}"
                   f"\t{p.mapQ}\t")
 
         if p.cigar:
-            out.write(cigar_str(p.cigar))
+            w.append(cigar_str(p.cigar))
         elif p.type == TYPE_NO_MATCH:
-            out.write("*")
+            w.append("*")
         else:
-            out.write(f"{p.len}M")
+            w.append(f"{p.len}M")
 
         if mate and mate.type != TYPE_NO_MATCH:
             am = min(mate.seQ, p.seQ)
             _, m_seqid, m_bns, m_bnsoffset = dbs.coor_pac2real(
                 mate.pos, mate.len)
             same = (seqid == m_seqid and bnsoffset == m_bnsoffset)
-            out.write("\t" + ("=" if same else m_bns.anns[m_seqid].name)
+            w.append("\t" + ("=" if same else m_bns.anns[m_seqid].name)
                       + "\t")
             isize = pos_5(mate) - pos_5(p) if same else 0
             if p.type == TYPE_NO_MATCH:
                 isize = 0
-            out.write(f"{mate.pos - (m_bns.anns[m_seqid].offset + m_bnsoffset) + 1}"
+            w.append(f"{mate.pos - (m_bns.anns[m_seqid].offset + m_bnsoffset) + 1}"
                       f"\t{isize}\t")
         elif mate:
-            out.write(f"\t=\t{p.pos - (bns.anns[seqid].offset + bnsoffset) + 1}"
+            w.append(f"\t=\t{p.pos - (bns.anns[seqid].offset + bnsoffset) + 1}"
                       f"\t0\t")
         else:
-            out.write("\t*\t0\t0\t")
+            w.append("\t*\t0\t0\t")
 
         # sequence + quality (original read orientation rules)
         if p.conv is not None:  # color mode: decoded nucleotide read
-            out.write(_BASE_CHARS[np.asarray(p.conv, np.uint8)]
+            w.append(_BASE_CHARS[np.asarray(p.conv, np.uint8)]
                       .tobytes().decode("latin-1"))
-            out.write("\t")
-            out.write(p.conv_qual.decode("latin-1") if p.conv_qual
+            w.append("\t")
+            w.append(p.conv_qual.decode("latin-1") if p.conv_qual
                       else "*")
         else:
             orig = np.asarray(r.orig, np.uint8)
             if p.strand == 0:
-                out.write(_BASE_CHARS[orig].tobytes().decode("latin-1"))
+                w.append(_BASE_CHARS[orig].tobytes().decode("latin-1"))
             else:
-                out.write(_COMP_CHARS[orig[::-1]].tobytes()
+                w.append(_COMP_CHARS[orig[::-1]].tobytes()
                           .decode("latin-1"))
-            out.write("\t")
+            w.append("\t")
             if r.qual is not None:
                 q = r.qual
                 if p.strand:
                     q = q[:p.len][::-1] + q[p.len:]
-                out.write(q.decode("latin-1"))
+                w.append(q.decode("latin-1"))
             else:
-                out.write("*")
+                w.append("*")
 
         if rg_id:
-            out.write(f"\tRG:Z:{rg_id}")
+            w.append(f"\tRG:Z:{rg_id}")
         if r.bc:
-            out.write(f"\tBC:Z:{r.bc}")
+            w.append(f"\tBC:Z:{r.bc}")
         if r.clip_len < r.full_len:
-            out.write(f"\tXC:i:{r.clip_len}")
+            w.append(f"\tXC:i:{r.clip_len}")
         if p.type != TYPE_NO_MATCH:
             XT = "NURM"[p.type]
             if nn > 10:
                 XT = "N"
             tag = "NM" if mode & BWA_MODE_COMPREAD else "CM"
-            out.write(f"\tXT:A:{XT}\t{tag}:i:{p.nm}")
+            w.append(f"\tXT:A:{XT}\t{tag}:i:{p.nm}")
             if nn:
-                out.write(f"\tXN:i:{nn}")
+                w.append(f"\tXN:i:{nn}")
             if mate:
-                out.write(f"\tSM:i:{p.seQ}\tAM:i:{am}")
+                w.append(f"\tSM:i:{p.seQ}\tAM:i:{am}")
             if p.type != TYPE_MATESW:
-                out.write(f"\tX0:i:{p.c1}")
+                w.append(f"\tX0:i:{p.c1}")
                 if p.c1 <= max_top2:
-                    out.write(f"\tX1:i:{p.c2}")
-            out.write(f"\tXM:i:{p.n_mm}\tXO:i:{p.n_gapo}"
+                    w.append(f"\tX1:i:{p.c2}")
+            w.append(f"\tXM:i:{p.n_mm}\tXO:i:{p.n_gapo}"
                       f"\tXG:i:{p.n_gapo + p.n_gape}")
             if p.md:
-                out.write(f"\tMD:Z:{p.md}")
+                w.append(f"\tMD:Z:{p.md}")
             if p.multi:
-                out.write("\tXA:Z:")
+                w.append("\tXA:Z:")
                 for q in p.multi:
                     j = pos_end_multi(q, p.len) - q.pos
                     nn, seqid, bns, bnsoffset = dbs.coor_pac2real(q.pos, j)
-                    out.write(f"{bns.anns[seqid].name},"
+                    w.append(f"{bns.anns[seqid].name},"
                               f"{'-' if q.strand else '+'}"
                               f"{q.pos - (bns.anns[seqid].offset + bnsoffset) + 1},")
-                    out.write(cigar_str(q.cigar) if q.cigar
+                    w.append(cigar_str(q.cigar) if q.cigar
                               else f"{p.len}M")
-                    out.write(f",{q.gap + q.mm};")
+                    w.append(f",{q.gap + q.mm};")
         if p.pos != p.remapped_pos:
             _, rseqid, rbns, rbnsoffset = dbs.coor_pac2real(
                 p.remapped_pos, j)
-            out.write(f"\tZR:Z:{rbns.anns[rseqid].name},"
+            w.append(f"\tZR:Z:{rbns.anns[rseqid].name},"
                       f"{p.remapped_pos - (rbns.anns[rseqid].offset + rbnsoffset) + 1}")
-        out.write("\n")
+        w.append("\n")
+        out.write("".join(w))
     else:  # no match
         flag = p.extra_flag | SAM_FSU
         if mate and mate.type == TYPE_NO_MATCH:
             flag |= SAM_FMU
-        out.write(f"{r.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t")
+        w.append(f"{r.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t")
         s = r.rseq if p.strand else r.orig
-        out.write(_BASE_CHARS[np.asarray(s[:p.len], np.uint8)]
+        w.append(_BASE_CHARS[np.asarray(s[:p.len], np.uint8)]
                   .tobytes().decode("latin-1"))
-        out.write("\t")
+        w.append("\t")
         if r.qual is not None:
             q = r.qual
             if p.strand:
                 q = q[:p.len][::-1] + q[p.len:]
-            out.write(q.decode("latin-1"))
+            w.append(q.decode("latin-1"))
         else:
-            out.write("*")
+            w.append("*")
         if rg_id:
-            out.write(f"\tRG:Z:{rg_id}")
+            w.append(f"\tRG:Z:{rg_id}")
         if r.bc:
-            out.write(f"\tBC:Z:{r.bc}")
+            w.append(f"\tBC:Z:{r.bc}")
         if r.clip_len < r.full_len:
-            out.write(f"\tXC:i:{r.clip_len}")
-        out.write("\n")
+            w.append(f"\tXC:i:{r.clip_len}")
+        w.append("\n")
+        out.write("".join(w))
 
 
 def print_sam_PG(out: TextIO, version: str = "0.5.9-ibwa (Release)") -> None:
