@@ -71,6 +71,106 @@ def fasta_to_bnt(fa_path: str, prefix: str) -> tuple[Bns, np.ndarray]:
     return bns, codes
 
 
+def fasta_to_bnt_packed(fa_path: str, prefix: str
+                        ) -> tuple[Bns, np.ndarray]:
+    """fasta_to_bnt for huge genomes: identical .pac/.ann/.amb bytes, but
+    the genome is packed contig-by-contig (4-base carry across contig
+    boundaries) so the unpacked 1-byte/base stream never materializes.
+    Returns (bns, packed pac bytes)."""
+    rng = Rand48(11)
+    anns: list[ContigAnn] = []
+    ambs: list[AmbHole] = []
+    out = bytearray()
+    carry = np.zeros(0, dtype=np.uint8)
+    offset = 0
+    last_comment: str | None = None
+    for rec in read_fasta(fa_path):
+        raw = np.frombuffer(rec.seq.encode("latin-1"), dtype=np.uint8)
+        codes = NT4_TABLE[raw].copy()
+        is_n = codes >= 4
+        n_ambs = 0
+        if is_n.any():
+            idx = np.flatnonzero(is_n)
+            run_start = 0
+            for t in range(1, len(idx) + 1):
+                if (t == len(idx) or idx[t] != idx[t - 1] + 1
+                        or raw[idx[t]] != raw[idx[t - 1]]):
+                    start = idx[run_start]
+                    ambs.append(AmbHole(offset + int(start),
+                                        int(t - run_start),
+                                        chr(raw[start])))
+                    n_ambs += 1
+                    run_start = t
+            draws = _lrand48_bulk(rng, int(is_n.sum()))
+            codes[is_n] = (draws & 3).astype(np.uint8)
+        del raw
+        if rec.comment:
+            last_comment = rec.comment
+        anns.append(ContigAnn(
+            name=rec.name,
+            anno=last_comment if last_comment is not None else "(null)",
+            offset=offset, length=len(codes), n_ambs=n_ambs))
+        offset += len(codes)
+        stream = np.concatenate([carry, codes]) if len(carry) else codes
+        del codes
+        n_full = (len(stream) // 4) * 4
+        out += _pack_codes(stream[:n_full]).tobytes()
+        carry = stream[n_full:].copy()
+        del stream
+    if offset == 0:
+        raise ValueError("zero length sequence")
+    if len(carry):
+        out += _pack_codes(carry).tobytes()
+    bns = Bns(l_pac=offset, seed=11, anns=anns, ambs=ambs)
+    pac_bytes = np.frombuffer(bytes(out), dtype=np.uint8)
+    del out
+    # .pac file = packed bytes + trailing pad marker (write_pac layout)
+    with open(prefix + ".pac", "wb") as f:
+        f.write(pac_bytes.tobytes())
+        if offset % 4 == 0:
+            f.write(b"\x00")
+        f.write(bytes([offset % 4]))
+    formats.write_ann(prefix + ".ann", bns)
+    formats.write_amb(prefix + ".amb", bns)
+    return bns, pac_bytes
+
+
+def _write_rpac_packed(path: str, pac_bytes: np.ndarray,
+                       l_pac: int, chunk: int = 1 << 26) -> None:
+    """.rpac (reversed, not complemented) streamed from the packed pac in
+    chunks — byte-identical to formats.write_rpac(codes)."""
+    n_bytes = (l_pac >> 2) + 1
+    with open(path, "wb") as f:
+        written = 0
+        pos = l_pac
+        carry = np.zeros(0, dtype=np.uint8)
+        while pos > 0 or len(carry):
+            take = min(chunk, pos)
+            lo = pos - take
+            # unpack bases [lo, pos) then reverse
+            seg = pac_bytes[lo >> 2:(pos + 3) >> 2]
+            codes = np.empty(len(seg) * 4, dtype=np.uint8)
+            for j in range(4):
+                codes[j::4] = (seg >> np.uint8((3 - j) << 1)) & np.uint8(3)
+            codes = codes[lo & 3:(lo & 3) + take][::-1]
+            stream = (np.concatenate([carry, codes]) if len(carry)
+                      else codes)
+            pos = lo
+            if pos > 0:
+                n_full = (len(stream) // 4) * 4
+                f.write(_pack_codes(stream[:n_full]).tobytes())
+                written += n_full // 4
+                carry = stream[n_full:].copy()
+            else:
+                f.write(_pack_codes(stream).tobytes())
+                written += (len(stream) + 3) // 4
+                carry = np.zeros(0, dtype=np.uint8)
+                break
+        if written < n_bytes:
+            f.write(bytes(n_bytes - written))
+        f.write(bytes([l_pac % 4]))
+
+
 def _lrand48_bulk(rng: Rand48, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint32)
@@ -127,9 +227,9 @@ def build_bwt_index_packed(pac_bytes: np.ndarray, seq_len: int,
     padded = np.zeros(((nb + 3) // 4) * 4, dtype=np.uint8)
     padded[:nb] = bwt_pac
     del bwt_pac
-    b = padded.reshape(-1, 4).astype(np.uint32)
-    words = ((b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3])
-    del b, padded
+    # 4 pac bytes big-endian == one u32 word: a view + one byteswap copy
+    words = padded.view(">u4").astype(np.uint32)
+    del padded
     n_words = (seq_len + 15) >> 4
     words = np.ascontiguousarray(words[:n_words])
     interleaved = formats.interleave_occ(words, seq_len)
@@ -170,27 +270,29 @@ def bwa_index(fa_path: str, prefix: str | None = None,
     <prefix>.nt.*, the searched index is built over the color-space pac."""
     if prefix is None:
         prefix = fa_path
-    if color:
-        fasta_to_bnt(fa_path, prefix + ".nt")
-        pac2cspac(prefix + ".nt", prefix)
-        codes = formats.read_pac(prefix + ".pac")
-    else:
-        bns, codes = fasta_to_bnt(fa_path, prefix)
-    formats.write_rpac(prefix + ".rpac", codes)
 
     # >2 Gbp path (the reference's `index -a bwtsw` territory,
-    # bwtindex.c:110-137): bounded-memory build over the packed text —
-    # ~4.4 bytes/base peak instead of the in-memory SA-IS's ~13+.
-    # IBWA_FRUGAL_MIN overrides the threshold (used by tests).
-    import os
+    # bwtindex.c:110-137): everything stays 2-bit packed — streaming
+    # FASTA packing, chunked .rpac, and the bounded-memory packed-text
+    # SA-IS — so peak memory is the u32 suffix array (~4.4 bytes/base).
+    # IBWA_FRUGAL_MIN overrides the byte threshold (used by tests).
     frugal_min = int(os.environ.get("IBWA_FRUGAL_MIN", (1 << 31) - 2))
-    if len(codes) >= frugal_min:
-        seq_len = len(codes)
+    if not color and os.path.getsize(fa_path) >= frugal_min:
+        bns, pac_bytes = fasta_to_bnt_packed(fa_path, prefix)
+        seq_len = bns.l_pac
+        _write_rpac_packed(prefix + ".rpac", pac_bytes, seq_len)
+        # L2 from per-byte code counts, chunked
+        counts = np.zeros(4, dtype=np.int64)
+        n_pac = (seq_len + 3) // 4
+        for lo in range(0, n_pac, 1 << 26):
+            seg = pac_bytes[lo:min(lo + (1 << 26), n_pac)]
+            for j in range(4):
+                counts += np.bincount((seg >> np.uint8((3 - j) << 1))
+                                      & np.uint8(3), minlength=4)
+        counts[0] -= (-seq_len) % 4  # padding bases in the last byte
         l2 = np.zeros(5, dtype=np.uint64)
-        l2[1:] = np.cumsum(np.bincount(codes, minlength=4))
+        l2[1:] = np.cumsum(counts)
         l2 = l2.astype(np.uint32)
-        pac_bytes = _pack_codes(codes)
-        del codes
         for reverse, bwt_name, sa_name in ((False, ".bwt", ".sa"),
                                            (True, ".rbwt", ".rsa")):
             idx = build_bwt_index_packed(pac_bytes, seq_len, l2, reverse)
@@ -198,6 +300,14 @@ def bwa_index(fa_path: str, prefix: str | None = None,
             formats.write_sa(prefix + sa_name, idx)
             del idx
         return
+
+    if color:
+        fasta_to_bnt(fa_path, prefix + ".nt")
+        pac2cspac(prefix + ".nt", prefix)
+        codes = formats.read_pac(prefix + ".pac")
+    else:
+        bns, codes = fasta_to_bnt(fa_path, prefix)
+    formats.write_rpac(prefix + ".rpac", codes)
 
     fwd = build_bwt_index(codes)
     formats.write_bwt(prefix + ".bwt", fwd)

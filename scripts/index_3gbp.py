@@ -82,7 +82,25 @@ def main():
     sys.path.insert(0, str(REPO))
     from ibwa_tpu.index.builder import bwa_index
 
+    # background RSS sampler: logs peaks so memory spikes are attributable
+    import threading
+    stop = threading.Event()
+
+    def sampler():
+        peak = 0
+        while not stop.is_set():
+            try:
+                with open("/proc/self/statm") as f:
+                    rss = int(f.read().split()[1]) * 4096
+            except Exception:
+                break
+            if rss > peak + (1 << 28):
+                peak = rss
+                log(f"rss peak {peak/1e9:.1f} GB at t+{time.time()-t0:.0f}s")
+            stop.wait(0.2)
+
     t0 = time.time()
+    threading.Thread(target=sampler, daemon=True).start()
     log("indexing (frugal packed-text path)")
     bwa_index(str(fa))
     dt = time.time() - t0
