@@ -365,8 +365,17 @@ def _cal_md1_native(cigar: list[int] | None, length: int, pos: int,
         carr = _MD_ZCIG
         ncig = 0
     span = min(need, max(dbs.l_pac - pos, 0))
-    ref = (dbs.extract_sequence(pos, span, nt=nt) if span > 0
-           else _MD_ZREF)
+    if span > 0:
+        # zero-copy fast path: span within one db's pac (always true for
+        # single-db samse; extract_sequence copies across boundaries)
+        db = dbs.dbs[dbs.coord2idx(pos)] if len(dbs.dbs) > 1 else dbs.dbs[0]
+        local = pos - db.offset
+        if local + span <= db.bns.l_pac and not nt:
+            ref = db.load_pac()[local:local + span]
+        else:
+            ref = dbs.extract_sequence(pos, span, nt=nt)
+    else:
+        ref = _MD_ZREF
     if not ref.flags.c_contiguous:
         ref = np.ascontiguousarray(ref)
     read = seq if seq.flags.c_contiguous else np.ascontiguousarray(seq)
