@@ -294,6 +294,22 @@ def main() -> None:
     rps = len(seqs) / dt
     log(f"ours: {rps:.0f} reads/s ({dt:.2f}s), stats={eng.stats}")
 
+    # honest chip-only number: same batch with the host co-processing
+    # share forced to zero (capacity-overflow reads still fall back to
+    # the host, mirroring production; their count is reported)
+    log("timing device-only (host share = 0)")
+    saved_frac = eng.host_frac
+    eng.host_frac = 0.0
+    fb0 = eng.stats["fallback_reads"]
+    t0 = time.perf_counter()
+    eng.align_batch(seqs, rseqs, opt)
+    dt_dev = time.perf_counter() - t0
+    dev_rps = len(seqs) / dt_dev
+    dev_fb = eng.stats["fallback_reads"] - fb0
+    eng.host_frac = saved_frac
+    log(f"device-only: {dev_rps:.0f} reads/s ({dt_dev:.2f}s, "
+        f"{dev_fb} overflow-fallback reads on host)")
+
     # modeled HBM traffic of the device search (per step: 5 stack planes
     # in+out through the Pallas kernel + width/meta planes + occ gathers)
     # vs the v5e's ~819 GB/s — the roofline analog for this gather-bound,
@@ -306,6 +322,8 @@ def main() -> None:
                   + B * 3 * HCAP * 0)           # hit scatters (sparse)
     hbm_gbs = step_bytes * steps / dt / 1e9
     extra = {
+        "device_only_reads_per_s": round(dev_rps, 1),
+        "device_only_fallback_reads": dev_fb,
         "device_reads": eng.stats["device_reads"],
         "fallback_reads": eng.stats["fallback_reads"],
         "host_reads": eng.stats["host_reads"],
@@ -319,7 +337,9 @@ def main() -> None:
     base = baseline_reads_per_s(fa, fq)
     vs = rps / base if base else None
     if base:
-        log(f"reference 1-core: {base:.0f} reads/s -> {vs:.2f}x")
+        extra["device_only_vs_ref"] = round(dev_rps / base, 3)
+        log(f"reference 1-core: {base:.0f} reads/s -> {vs:.2f}x hybrid, "
+            f"{dev_rps/base:.2f}x device-only")
 
     try:
         bench_stages(fa, extra)

@@ -164,7 +164,8 @@ struct PeCtx {
 // so caching every recurring interval >= 8 wide is strictly cheaper
 // (pure function of (db, strand, k, l) — behavior-neutral).  A size cap
 // bounds pathological corpora.
-constexpr int64_t MIN_HASH_WIDTH = 8;  // filter_alignments.cpp:10
+constexpr int64_t MIN_HASH_WIDTH = 8;  // deliberately lower than the
+// reference's 1000 (filter_alignments.cpp:10) — see comment above
 constexpr size_t CACHE_MAX_VALS = 64u << 20;  // 64M positions ~ 256 MB
 
 // raw walk values for [k, l] of one db/strand, cached when wide
