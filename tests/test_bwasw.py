@@ -74,3 +74,19 @@ def test_bwasw_parity(long_case, oracle, case):
     out = io.StringIO()
     bsw2_aln(opt, str(fa), str(fq), out=out)
     assert out.getvalue() == ref_sam
+
+
+def test_bwasw_parity_pure_py(long_case, oracle, monkeypatch):
+    """Keep the Python core (core.py::bsw2_core) executable: it is the
+    documented semantic source of truth for native bsw2.cpp."""
+    monkeypatch.setenv("IBWA_PURE_PY", "1")
+    tmp, fa, fa_ref, fq = long_case
+    ref_sam = subprocess.run(
+        [oracle, "bwasw", str(fa_ref), str(fq)],
+        check=True, capture_output=True).stdout.decode()
+    opt = Bsw2Opt()
+    opt.t *= opt.a
+    opt.coef *= opt.a
+    out = io.StringIO()
+    bsw2_aln(opt, str(fa), str(fq), out=out)
+    assert out.getvalue() == ref_sam

@@ -147,3 +147,30 @@ def test_sampe_remap_parity(remap_case, oracle):
     assert len(ours) == len(refs)
     for i, (a, b) in enumerate(zip(ours, refs)):
         assert a == b, f"line {i}:\nours: {a}\nref:  {b}"
+
+
+def test_sampe_remap_parity_pure_py(remap_case, oracle, monkeypatch):
+    """Multi-db remap through the Python oracle path (IBWA_PURE_PY=1)."""
+    monkeypatch.setenv("IBWA_PURE_PY", "1")
+    tmp, ours_fa, ref_fa, fqs = remap_case
+    sais = {}
+    for rfa, tag in [(ref_fa[0], "p"), (ref_fa[1], "a")]:
+        for e, fq in enumerate(fqs):
+            ref_sai = tmp / f"purepy.{tag}{e}.sai"
+            ref_sai.write_bytes(subprocess.run(
+                [oracle, "aln", str(rfa), fq], check=True,
+                capture_output=True).stdout)
+            sais[(tag, e)] = str(ref_sai)
+    ref_sam = subprocess.run(
+        [oracle, "sampe", "-R", str(ref_fa[0]), sais[("p", 0)],
+         sais[("p", 1)], fqs[0], fqs[1], str(ref_fa[1]), sais[("a", 0)],
+         sais[("a", 1)]],
+        check=True, capture_output=True).stdout.decode()
+    out = io.StringIO()
+    sai2sam_pe([str(ours_fa[0]), str(ours_fa[1])],
+               [(sais[("p", 0)], sais[("p", 1)]),
+                (sais[("a", 0)], sais[("a", 1)])],
+               fqs[0], fqs[1], PeOpt(remapping=1), out=out)
+    ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
+    refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
+    assert ours == refs

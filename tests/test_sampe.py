@@ -70,3 +70,27 @@ def test_sampe_parity(pe_case, oracle, case):
     ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
     refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
     assert ours == refs
+
+
+def test_sampe_parity_pure_py(pe_case, oracle, monkeypatch):
+    """Keep the Python oracle path (IBWA_PURE_PY=1) executable: it is the
+    documented semantic source of truth for native pe_stage.cpp."""
+    monkeypatch.setenv("IBWA_PURE_PY", "1")
+    tmp, fa, fa_ref, fqs = pe_case
+    sais = []
+    for e, fq in enumerate(fqs):
+        ref_sai = tmp / f"purepy.{e}.sai"
+        ref_sai.write_bytes(subprocess.run(
+            [oracle, "aln", str(fa_ref), fq],
+            check=True, capture_output=True).stdout)
+        sais.append(str(ref_sai))
+    ref_sam = subprocess.run(
+        [oracle, "sampe", "-R", str(fa_ref), sais[0], sais[1],
+         fqs[0], fqs[1]],
+        check=True, capture_output=True).stdout.decode()
+    out = io.StringIO()
+    sai2sam_pe([str(fa)], [(sais[0], sais[1])], fqs[0], fqs[1],
+               PeOpt(remapping=1), out=out)
+    ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
+    refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
+    assert ours == refs

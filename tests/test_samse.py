@@ -78,3 +78,22 @@ def test_samse_parity(se_case, oracle, case):
     ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
     refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
     assert ours == refs
+
+
+def test_samse_parity_pure_py(se_case, oracle, monkeypatch):
+    """Keep the Python oracle path (IBWA_PURE_PY=1) executable: it is the
+    documented semantic source of truth for the native samse stage."""
+    monkeypatch.setenv("IBWA_PURE_PY", "1")
+    tmp, fa, fa_ref, fq = se_case
+    ref_sai = tmp / "purepy.ref.sai"
+    ref_sai.write_bytes(subprocess.run(
+        [oracle, "aln", str(fa_ref), str(fq)],
+        check=True, capture_output=True).stdout)
+    ref_sam = subprocess.run(
+        [oracle, "samse", str(fa_ref), str(ref_sai), str(fq)],
+        check=True, capture_output=True).stdout.decode()
+    out = io.StringIO()
+    sai2sam_se(str(fa), str(ref_sai), str(fq), out=out)
+    ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
+    refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
+    assert ours == refs
