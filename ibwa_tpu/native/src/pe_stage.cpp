@@ -136,6 +136,14 @@ struct PeDb {
   const int32_t* rm_run_cnt;
   const uint8_t* rm_ops;
   const int32_t* rm_lens;
+  // emit-time aux (registered via ibwa_pe_set_emit_db; null until then)
+  const uint8_t* pac = nullptr;       // unpacked 2-bit codes, l_pac entries
+  int64_t n_holes = 0;                // .amb N-hole list (bns_coor_pac2real)
+  const int64_t* amb_off = nullptr;
+  const int32_t* amb_len = nullptr;
+  const uint8_t* names = nullptr;     // concatenated contig names
+  const int64_t* name_off = nullptr;  // [n_seqs + 1]
+  const int32_t* rm_ngapo = nullptr;  // [n_remap] gap-opens per remap cigar
 };
 
 struct SaiBatch {
@@ -151,6 +159,8 @@ struct PeCtx {
   // registered .sai batches: [end][db]
   SaiBatch sai[2][16];
   int n_db = 0;
+  int64_t l_pac_total = 0;   // sum of db l_pacs (dbset address space)
+  std::string emit_buf;      // SAM text output of ibwa_pe_emit
   // SA-interval position cache (the reference's bwtcache, bwtcache.c:43-59
   // + filter_alignments.cpp:77-102): wide intervals recur across reads on
   // repeat-rich genomes; memoize the raw SA-walk values per
@@ -921,6 +931,902 @@ static void select_sai_multi(PeCtx& ctx, const std::vector<AlnRec>& ag,
 }  // namespace
 
 // ---------------------------------------------------------------------------
+// Emit stage: gapped refinement, MD/NM, trimming correction and SAM record
+// assembly — the native port of bwa_refine_gapped + bwa_cal_md1 +
+// bwa_correct_trimmed + bwa_print_sam1 (bwase.c:333-581) and sampe's
+// post-stage loop (bwape.c:476-537).  The Python modules sam/bwase.py and
+// sam/sampe.py remain the semantic source of truth (IBWA_PURE_PY=1).
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t ibwa_global_aln(const uint8_t*, int32_t, const uint8_t*,
+                                   int32_t, int32_t, int32_t, int32_t,
+                                   int32_t, const int32_t*, int32_t,
+                                   uint32_t*, int32_t, int32_t*);
+extern "C" int64_t ibwa_cal_md(const uint32_t*, int32_t, const uint8_t*,
+                               int64_t, int64_t, int64_t, const uint8_t*,
+                               int32_t, char*, int64_t, int32_t*);
+
+namespace {
+
+enum { TYPE_MATESW = 3 };
+enum {
+  SAM_FSU = 4, SAM_FMU = 8, SAM_FSR = 16, SAM_FMR = 32
+};
+constexpr int CIG_M = 0, CIG_I = 1, CIG_D = 2, CIG_S = 3;
+
+inline int cig_op(uint32_t c) { return (int)(c >> 29); }
+inline int64_t cig_len(uint32_t c) { return (int64_t)(c & 0x1FFFFFFF); }
+inline uint32_t cig_make(int op, int64_t len) {
+  return ((uint32_t)op << 29) | (uint32_t)len;
+}
+
+// aln_sm_maq + aln_param_bwa (stdaln.c:212-227), the refinement params
+static const int32_t kSmMaq[25] = {11, -19, -19, -19, -13, -19, 11, -19,
+                                   -19, -13, -19, -19, 11, -19, -13, -19,
+                                   -19, -19, 11, -13, -13, -13, -13, -13,
+                                   -13};
+constexpr int32_t kGapOpen = 26, kGapExt = 9, kGapEnd = 5, kBand = 50;
+
+static int coord2idx_g(const PeCtx& ctx, int64_t pos) {
+  // dbset coord2idx (dbset.c:17-39): last db whose offset <= pos
+  int idx = 0;
+  for (int i = 1; i < ctx.n_db; ++i)
+    if (ctx.dbs[i].offset <= pos) idx = i;
+  return idx;
+}
+
+// dbset_extract_sequence (dbset.c:306-325): cross-db, truncated at l_pac
+static int64_t extract_sequence(const PeCtx& ctx, int64_t beg, int64_t length,
+                                std::vector<uint8_t>* out) {
+  out->resize(length);
+  int64_t total = 0;
+  while (total < length) {
+    if (beg >= ctx.l_pac_total) break;
+    const PeDb& db = ctx.dbs[coord2idx_g(ctx, beg)];
+    int64_t pos = beg - db.offset;
+    int64_t take = std::min(length - total, db.l_pac - pos);
+    std::memcpy(out->data() + total, db.pac + pos, (size_t)take);
+    total += take;
+    beg += take;
+  }
+  out->resize(total);
+  return total;
+}
+
+// remap_position_with_seqid giving the LOCAL target offset (no db-0 offset);
+// mirrors sam/remap.py::remap_position_with_seqid which raises on range
+// errors (the reference err_fatals, bwaremap.cpp:305-309)
+static int remap_pos_local(const PeCtx& ctx, const PeDb& db, int64_t pac_coor,
+                           int32_t seqid, int64_t* out) {
+  if (seqid >= db.n_remap) {
+    fprintf(stderr, "No read mapping for sequence id %d\n", (int)seqid);
+    exit(1);
+  }
+  int32_t target_idx = db.rm_target[seqid];
+  if (target_idx < 0) {
+    fprintf(stderr, "Failed to locate remapping target\n");
+    exit(1);
+  }
+  int64_t rv;
+  if (!db.rm_exact[seqid]) {
+    int64_t altpos = pac_coor - db.ann_off[seqid];
+    int64_t off;
+    if (!remap_cigar_pos(db, seqid, altpos, (int64_t)db.ann_len[seqid], &off))
+      return 0;
+    rv = db.rm_start[seqid] + off;
+  } else {
+    rv = pac_coor - db.ann_off[seqid];
+  }
+  if (!db.rm_exact[seqid] &&
+      (rv < db.rm_start[seqid] || rv > db.rm_stop[seqid])) {
+    fprintf(stderr,
+            "remapped position out of range (%lld should be in [%lld, %lld])\n",
+            (long long)rv, (long long)db.rm_start[seqid],
+            (long long)db.rm_stop[seqid]);
+    exit(1);
+  }
+  *out = rv + ctx.dbs[0].ann_off[target_idx];
+  return 1;
+}
+
+// dbset_extract_remapped (dbset.c:261-304): stitch primary flanks around
+// the alt contig; degenerates to extract_sequence without a remap
+static void extract_remapped(const PeCtx& ctx, int dbidx, int32_t seqid,
+                             int64_t beg, int64_t length,
+                             std::vector<uint8_t>* out) {
+  const PeDb& db = ctx.dbs[dbidx];
+  if (seqid < 0 || !db.has_remap) {
+    extract_sequence(ctx, beg, length, out);
+    return;
+  }
+  out->clear();
+  out->reserve(length);
+  std::vector<uint8_t> seg;
+  int64_t seq_begin = db.offset + db.ann_off[seqid];
+  int64_t total = 0;
+  const PeDb& target = ctx.dbs[0];
+
+  if (beg < seq_begin) {
+    int64_t remapped_begin = 0;
+    int status =
+        remap_pos_local(ctx, db, db.ann_off[seqid], seqid, &remapped_begin);
+    remapped_begin += target.offset;
+    int64_t sublen = seq_begin - beg;
+    int64_t offset = remapped_begin - sublen;
+    if (sublen > remapped_begin || status == 0) {
+      fprintf(stderr, "request too far ahead of remapped region\n");
+      exit(1);
+    }
+    extract_sequence(ctx, offset, sublen, &seg);
+    out->insert(out->end(), seg.begin(), seg.end());
+    total += (int64_t)seg.size();
+  }
+  if (total < length) {
+    int64_t sublen = length - total;
+    if (sublen > (int64_t)db.ann_len[seqid]) sublen = db.ann_len[seqid];
+    extract_sequence(ctx, beg, sublen, &seg);
+    out->insert(out->end(), seg.begin(), seg.end());
+    total += (int64_t)seg.size();
+  }
+  if (total < length) {
+    int64_t rend = 0;
+    int status = remap_pos_local(
+        ctx, db, db.ann_off[seqid] + db.ann_len[seqid] - 1, seqid, &rend);
+    if (status == 0) {
+      fprintf(stderr, "request too far ahead of remapped region\n");
+      exit(1);
+    }
+    int64_t remapped_end = rend + target.offset + 1;
+    extract_sequence(ctx, remapped_end, length - total, &seg);
+    out->insert(out->end(), seg.begin(), seg.end());
+    total += (int64_t)seg.size();
+  }
+  if (total != length) {
+    fprintf(stderr, "logic error: got %lld bases instead of %lld\n",
+            (long long)total, (long long)length);
+    exit(1);
+  }
+}
+
+// dbset_coor_pac2real (dbset.c:247-255) + bns_coor_pac2real
+// (bntseq.c:296-318): global pos -> (nn, seqid, dbidx)
+static void coor_pac2real(const PeCtx& ctx, int64_t pos, int64_t length,
+                          int64_t* nn_out, int32_t* seqid_out,
+                          int32_t* dbidx_out) {
+  int idx = coord2idx_g(ctx, pos);
+  const PeDb& db = ctx.dbs[idx];
+  int64_t local = pos - db.offset;
+  int32_t seqid = seq_for_pos(db, local);
+  // hole overlap: binary search counting only the FIRST overlapping hole
+  int64_t left = 0, right = db.n_holes, nn = 0;
+  while (left < right) {
+    int64_t mid = (left + right) >> 1;
+    int64_t ho = db.amb_off[mid];
+    int64_t hl = db.amb_len[mid];
+    if (local >= ho + hl) {
+      left = mid + 1;
+    } else if (local + length <= ho) {
+      right = mid;
+    } else {
+      if (local >= ho) {
+        nn += (ho + hl < local + length) ? ho + hl - local : length;
+      } else {
+        nn += (ho + hl < local + length) ? hl : length - (ho - local);
+      }
+      break;
+    }
+  }
+  *nn_out = nn;
+  *seqid_out = seqid;
+  *dbidx_out = idx;
+}
+
+// translate_cigar (translate_cigar.cpp:71-357 / sam/remap.py::_translate):
+// compose the read's cigar with the contig's remap cigar.  Returns false on
+// any error (the C++ catch-all -> cigar dropped).
+struct CigBuilder {
+  std::vector<uint32_t> c;
+  void push(int op, int64_t len) {
+    if (!c.empty() && cig_op(c.back()) == op)
+      c.back() = cig_make(op, cig_len(c.back()) + len);
+    else
+      c.push_back(cig_make(op, len));
+  }
+};
+
+static bool translate_cigar_c(const PeDb& db, int32_t seqid, int64_t start,
+                              const uint32_t* read_cig, int32_t n_read_cig,
+                              int64_t total_read_len,
+                              std::vector<uint32_t>* out) {
+  const uint8_t* ops = db.rm_ops + db.rm_run_begin[seqid];
+  const int32_t* lens = db.rm_lens + db.rm_run_begin[seqid];
+  int32_t n_runs = db.rm_run_cnt[seqid];
+  CigBuilder cb;
+  int32_t si = 0;
+  int64_t seq_len = 0;
+  int seq_op = -1;
+  bool seq_exhausted = false;
+  auto seq_advance = [&]() {
+    if (si < n_runs) {
+      seq_len = lens[si];
+      seq_op = ops[si];
+      ++si;
+    } else {
+      seq_len = 0;
+      seq_op = -1;
+      seq_exhausted = true;
+    }
+  };
+  int32_t ri = 0;
+  int64_t read_len = 0;
+  int read_op = 0;
+  auto read_advance = [&]() {
+    if (read_cig == nullptr) return;
+    read_len = cig_len(read_cig[ri]);
+    read_op = cig_op(read_cig[ri]);
+    ++ri;
+  };
+  seq_advance();
+  read_advance();
+  auto eos = [&]() { return seq_len == 0 && seq_exhausted; };
+  auto eor = [&]() { return read_len == 0 && ri >= n_read_cig; };
+  auto is_match = [](int op) {
+    return op == RM_M || op == RM_X || op == RM_EQ;
+  };
+
+  // find_start_pos (translate_cigar.cpp:267-300)
+  int64_t cpos = 0;
+  while (cpos < start && !eos()) {
+    if (seq_len == 0) {
+      seq_advance();
+      continue;
+    }
+    if (is_match(seq_op) || seq_op == RM_I) {
+      int64_t dist = start - cpos;
+      if (seq_len > dist) {
+        seq_len -= dist;
+        cpos = start;
+      } else {
+        cpos += seq_len;
+        seq_len = 0;
+      }
+    } else if (seq_op == RM_N || seq_op == RM_D) {
+      seq_len = 0;
+    } else {
+      return false;
+    }
+  }
+  if (cpos < start) return false;
+
+  // remap op -> bwa cigar op (tr_seqop: X/= are NOT accepted, they throw)
+  auto tr_seqop = [](int op, int* res) -> bool {
+    switch (op) {
+      case RM_M: *res = CIG_M; return true;
+      case RM_I: *res = CIG_I; return true;
+      case RM_D: *res = CIG_D; return true;
+      case RM_N: *res = 4;     return true;  // FROM_N
+      default:   return false;               // X/= -> error
+    }
+  };
+
+  if (read_cig == nullptr) {
+    int64_t ln = 0;
+    while (ln < total_read_len && !eos()) {
+      if (seq_len == 0) {
+        seq_advance();
+        continue;
+      }
+      int op;
+      if (!tr_seqop(seq_op, &op)) return false;
+      int64_t dist = total_read_len - ln;
+      if (seq_len < dist) {
+        cb.push(op, seq_len);
+        ln += seq_len;
+        seq_advance();
+      } else {
+        cb.push(op, dist);
+        break;
+      }
+    }
+    *out = std::move(cb.c);
+    return true;
+  }
+
+  while (!eor() && !eos()) {
+    if (seq_len == 0) seq_advance();
+    if (read_len == 0) read_advance();
+    if (read_op == CIG_S) {
+      cb.push(read_op, read_len);
+      read_len = 0;
+      if (!eor()) read_advance();
+      continue;
+    }
+    if (is_match(seq_op)) {  // in_match
+      if (read_op == CIG_M || read_op == CIG_D || read_op == 4) {
+        if (seq_len >= read_len) {
+          cb.push(read_op, read_len);
+          seq_len -= read_len;
+          read_len = 0;
+        } else {
+          cb.push(read_op, seq_len);
+          read_len -= seq_len;
+          seq_len = 0;
+        }
+      } else if (read_op == CIG_I) {
+        cb.push(read_op, read_len);
+        read_len = 0;
+      } else {
+        return false;
+      }
+    } else if (seq_op == RM_I) {  // in_insertion
+      if (read_op == CIG_M) {
+        if (seq_len < read_len) {
+          cb.push(CIG_I, seq_len);
+          read_len -= seq_len;
+          seq_len = 0;
+        } else {
+          cb.push(CIG_I, read_len);
+          seq_len -= read_len;
+          read_len = 0;
+        }
+      } else if (read_op == CIG_I) {
+        cb.push(read_op, read_len);
+        read_len = 0;
+      } else if (read_op == CIG_D || read_op == 4) {
+        if (seq_len > read_len) {
+          seq_len -= read_len;
+          read_len = 0;
+        } else {
+          read_len -= seq_len;
+          seq_len = 0;
+        }
+      } else {
+        return false;
+      }
+    } else if (seq_op == RM_N || seq_op == RM_D) {  // in_deletion
+      int op;
+      if (!tr_seqop(seq_op, &op)) return false;
+      if (read_op == CIG_M) {
+        cb.push(op, seq_len);
+        seq_advance();
+      } else if (read_op == CIG_I) {
+        cb.push(op, seq_len);
+        seq_advance();
+        cb.push(read_op, read_len);
+        read_advance();
+      } else if (read_op == CIG_D || read_op == 4) {
+        cb.push(op, seq_len);
+        seq_len = 0;
+      } else {
+        return false;
+      }
+    } else {
+      return false;
+    }
+  }
+  while (!eor()) {
+    if (read_len == 0) read_advance();
+    if (read_op == CIG_M || read_op == CIG_I || read_op == CIG_S)
+      cb.push(CIG_S, read_len);
+    read_len = 0;
+  }
+  *out = std::move(cb.c);
+  return true;
+}
+
+// refine_gapped_core (bwase.c:167-241): re-extract the reference around
+// the hit, banded global DP, post-fix the cigar, translate through the
+// remap cigar.  Returns the (possibly empty<->dropped) cigar + new pos.
+struct EmitScratch {
+  std::vector<uint8_t> ref;
+  std::vector<uint32_t> cig;
+  std::vector<uint8_t> md_ref;
+  std::vector<char> md_buf;
+};
+
+static void refine_core(const PeCtx& ctx, int dbidx, int32_t seqid,
+                        int64_t length, const uint8_t* seq, int64_t pos,
+                        int64_t ext, int is_end_correct, EmitScratch& sc,
+                        std::vector<uint32_t>* out_cig, bool* has_cig,
+                        int64_t* out_pos) {
+  if (pos > ctx.l_pac_total) {
+    fprintf(stderr, "position=%lld > l_pac=%lld\n", (long long)pos,
+            (long long)ctx.l_pac_total);
+    exit(1);
+  }
+  int64_t ref_len = length + (ext > 0 ? ext : -ext);
+  int64_t ref_start;
+  if (ext > 0) {
+    ref_start = pos;
+  } else {
+    int64_t x = pos + (is_end_correct ? length : ref_len);
+    ref_start = (x - ref_len > 0) ? x - ref_len : 0;
+    ref_len = x - ref_start;
+  }
+  extract_remapped(ctx, dbidx, seqid, ref_start, ref_len, &sc.ref);
+  sc.cig.resize((size_t)(sc.ref.size() + length + 2));
+  int32_t score = 0;
+  int32_t n = ibwa_global_aln(sc.ref.data(), (int32_t)sc.ref.size(), seq,
+                              (int32_t)length, kGapOpen, kGapExt, kGapEnd,
+                              kBand, kSmMaq, 5, sc.cig.data(),
+                              (int32_t)sc.cig.size(), &score);
+  sc.cig.resize(n < 0 ? 0 : (size_t)n);
+  std::vector<uint32_t>& cig = sc.cig;
+
+  if (ext < 0 && is_end_correct) {  // fix fwd-strand coordinate
+    int64_t l = 0;
+    for (uint32_t c : cig) {
+      if (cig_op(c) == CIG_D) l -= cig_len(c);
+      else if (cig_op(c) == CIG_I) l += cig_len(c);
+    }
+    pos += l;
+  }
+  if (!cig.empty() && cig_op(cig.front()) == CIG_D) {  // 5'-end deletion
+    pos += cig_len(cig.front());
+    cig.erase(cig.begin());
+  }
+  if (!cig.empty() && cig_op(cig.back()) == CIG_D)  // 3'-end deletion
+    cig.pop_back();
+  if (!cig.empty() && cig_op(cig.back()) == CIG_I)  // I at ends -> S
+    cig.back() = cig_make(CIG_S, cig_len(cig.back()));
+  if (!cig.empty() && cig_op(cig.front()) == CIG_I)
+    cig.front() = cig_make(CIG_S, cig_len(cig.front()));
+
+  const PeDb& db = ctx.dbs[dbidx];
+  *has_cig = true;
+  if (db.has_remap && seqid >= 0 && seqid < db.n_remap &&
+      db.rm_run_cnt[seqid] > 0) {
+    int64_t start = pos - db.offset - db.ann_off[seqid];
+    std::vector<uint32_t> tcig;
+    if (translate_cigar_c(db, seqid, start, cig.data(), (int32_t)cig.size(),
+                          length, &tcig)) {
+      *out_cig = std::move(tcig);
+    } else {
+      fprintf(stderr, "Error translating cigar string\n");
+      out_cig->clear();
+      *has_cig = false;  // None in Python: record falls back to "{len}M"
+    }
+  } else {
+    *out_cig = cig;
+  }
+  *out_pos = pos;
+}
+
+// per-end-read mutable emit state (cigar/md/multis live outside io arrays)
+struct EmitMulti {
+  int64_t pos;
+  int32_t gap, mm, strand, dbidx;
+  std::vector<uint32_t> cigar;
+  bool has_cigar = false;
+};
+
+struct EmitSeq {
+  std::vector<uint32_t> cigar;
+  bool has_cigar = false;
+  std::string md;
+  bool has_md = false;
+  int32_t nm = 0;
+  int64_t cur_len;  // s.len (clip_len, then full_len after correct_trimmed)
+  std::vector<EmitMulti> multis;
+  std::vector<uint8_t> seq_fwd;  // forward-oriented clipped codes
+};
+
+// read-only per-end-read input views
+struct EmitReadView {
+  const uint8_t* seq;   // reversed clipped codes (r.seq)
+  const uint8_t* rseq;  // revcomp clipped codes (r.rseq)
+  const uint8_t* orig;  // forward full-length codes
+  const uint8_t* qual;  // full_len bytes or nullptr
+  const uint8_t* name;
+  int64_t name_len;
+  const uint8_t* bc;
+  int64_t bc_len;
+  int32_t clip_len, full_len;
+};
+
+// bwa_cal_md1 via the shared walk; one extraction for the whole span
+static void emit_cal_md(const PeCtx& ctx, EmitSeq& es, int64_t rpos,
+                        const uint8_t* sseq, int64_t length,
+                        EmitScratch& sc) {
+  int64_t need = 0;
+  const uint32_t* cig = nullptr;
+  int32_t ncig = 0;
+  if (es.has_cigar && !es.cigar.empty()) {
+    for (uint32_t c : es.cigar)
+      if (cig_op(c) == CIG_M || cig_op(c) == CIG_D) need += cig_len(c);
+    cig = es.cigar.data();
+    ncig = (int32_t)es.cigar.size();
+  } else {
+    need = length;
+  }
+  int64_t span = std::min(need, std::max(ctx.l_pac_total - rpos, (int64_t)0));
+  if (span > 0)
+    extract_sequence(ctx, rpos, span, &sc.md_ref);
+  else
+    sc.md_ref.clear();
+  int64_t cap = 16 + 2 * need + 12 * (ncig + 1) + length;
+  if ((int64_t)sc.md_buf.size() < cap) sc.md_buf.resize(cap);
+  int32_t nm = 0;
+  int64_t n = ibwa_cal_md(cig, ncig, sc.md_ref.data(),
+                          (int64_t)sc.md_ref.size(), rpos, ctx.l_pac_total,
+                          sseq, (int32_t)length, sc.md_buf.data(), cap, &nm);
+  if (n < 0) {
+    fprintf(stderr, "ibwa_cal_md: buffer overflow\n");
+    exit(1);
+  }
+  es.md.assign(sc.md_buf.data(), (size_t)n);
+  es.has_md = true;
+  es.nm = nm;
+}
+
+// bwa_correct_trimmed (bwase.c:297-331)
+static void correct_trimmed(EmitSeq& es, int32_t strand, int32_t clip_len,
+                            int32_t full_len) {
+  if (es.cur_len == full_len) return;
+  int64_t pad = full_len - es.cur_len;
+  if (strand == 0) {
+    if (es.has_cigar && !es.cigar.empty() &&
+        cig_op(es.cigar.back()) == CIG_S) {
+      es.cigar.back() += (uint32_t)pad;
+    } else {
+      if (!es.has_cigar) {
+        es.cigar.assign(1, cig_make(CIG_M, es.cur_len));
+        es.has_cigar = true;
+      }
+      es.cigar.push_back(cig_make(CIG_S, pad));
+    }
+  } else {
+    if (es.has_cigar && !es.cigar.empty() &&
+        cig_op(es.cigar.front()) == CIG_S) {
+      es.cigar.front() += (uint32_t)pad;
+    } else {
+      if (!es.has_cigar) {
+        es.cigar.assign(1, cig_make(CIG_M, es.cur_len));
+        es.has_cigar = true;
+      }
+      es.cigar.insert(es.cigar.begin(), cig_make(CIG_S, pad));
+    }
+  }
+  es.cur_len = full_len;
+}
+
+// bwa_refine_gapped (bwase.c:333-449) for one end-read, nucleotide space
+static void refine_one(const PeCtx& ctx, Seq& s, EmitSeq& es,
+                       const EmitReadView& rv, EmitScratch& sc) {
+  int64_t remapped_gapo = 0;
+  int dbidx = s.i32[G_DBIDX];
+  const PeDb& db = ctx.dbs[dbidx];
+  int32_t rseqid = s.i32[G_RSEQID];
+  if (db.has_remap && rseqid >= 0 && rseqid < db.n_remap &&
+      db.rm_ngapo != nullptr)
+    remapped_gapo += db.rm_ngapo[rseqid];
+  // seq_reverse(s->len, s->seq, 0): forward-oriented clipped codes
+  es.seq_fwd.assign(rv.seq, rv.seq + rv.clip_len);
+  std::reverse(es.seq_fwd.begin(), es.seq_fwd.end());
+  for (EmitMulti& q : es.multis) {
+    if (q.gap == 0) continue;
+    const uint8_t* qseq = q.strand ? rv.rseq : es.seq_fwd.data();
+    int64_t ext = (q.strand ? 1 : -1) * (int64_t)q.gap;
+    // multis use q->remapped_seqid, which is calloc'd to 0 and never set
+    // (bwt_multi1_t quirk, bwase.c:354) — NOT the primary's seqid
+    refine_core(ctx, q.dbidx, 0, es.cur_len, qseq, q.pos, ext, 1, sc,
+                &q.cigar, &q.has_cigar, &q.pos);
+  }
+  int32_t type = s.i32[G_TYPE];
+  if (type == TYPE_NO_MATCH || type == TYPE_MATESW ||
+      (s.i32[G_NGAPO] == 0 && remapped_gapo == 0))
+    return;
+  const uint8_t* sseq = s.i32[G_STRAND] ? rv.rseq : es.seq_fwd.data();
+  int64_t ext = (s.i32[G_STRAND] ? 1 : -1) *
+                (int64_t)(s.i32[G_NGAPO] + s.i32[G_NGAPE]);
+  int64_t newpos = s.i64[F_POS];
+  refine_core(ctx, dbidx, rseqid, es.cur_len, sseq, newpos, ext, 1, sc,
+              &es.cigar, &es.has_cigar, &newpos);
+  s.i64[F_POS] = newpos;
+}
+
+// ---- SAM text assembly (bwa_print_sam1, bwase.c:451-581) ----
+
+static const char kBaseCh[] = "ACGTN";
+static const char kCompCh[] = "TGCAN";
+
+struct SamOut {
+  std::string& s;
+  void ch(char c) { s.push_back(c); }
+  void str(const char* p, size_t n) { s.append(p, n); }
+  void cstr(const char* p) { s.append(p); }
+  void num(int64_t v) {
+    char tmp[24];
+    int n = snprintf(tmp, sizeof(tmp), "%lld", (long long)v);
+    s.append(tmp, n);
+  }
+};
+
+static void put_cigar(SamOut& o, const std::vector<uint32_t>& cig) {
+  static const char ops[] = "MIDSN";
+  for (uint32_t c : cig) {
+    o.num(cig_len(c));
+    o.ch(ops[cig_op(c)]);
+  }
+}
+
+static int64_t pos_end_es(const Seq& s, const EmitSeq& es) {
+  if (es.has_cigar && !es.cigar.empty()) {
+    int64_t x = s.i64[F_POS];
+    for (uint32_t c : es.cigar)
+      if (cig_op(c) == CIG_M || cig_op(c) == CIG_D) x += cig_len(c);
+    return x;
+  }
+  return s.i64[F_POS] + es.cur_len;
+}
+
+static int64_t pos_end_multi_es(const EmitMulti& q, int64_t length) {
+  if (q.has_cigar && !q.cigar.empty()) {
+    int64_t x = q.pos;
+    for (uint32_t c : q.cigar)
+      if (cig_op(c) == CIG_M || cig_op(c) == CIG_D) x += cig_len(c);
+    return x;
+  }
+  return q.pos + length;
+}
+
+static int64_t pos_5_es(const Seq& s, const EmitSeq& es) {
+  if (s.i32[G_TYPE] != TYPE_NO_MATCH)
+    return s.i32[G_STRAND] ? pos_end_es(s, es) : s.i64[F_POS];
+  return -1;
+}
+
+static const uint8_t* db_ctg_name(const PeDb& db, int32_t seqid,
+                                  int64_t* len) {
+  *len = db.name_off[seqid + 1] - db.name_off[seqid];
+  return db.names + db.name_off[seqid];
+}
+
+struct EmitOpts {
+  int32_t mode;
+  int32_t max_top2;
+  std::string rg_id;  // empty = none
+};
+
+static void print_sam1(const PeCtx& ctx, const EmitOpts& eo, Seq* p,
+                       EmitSeq* pes, const EmitReadView& rv, Seq* mate,
+                       EmitSeq* mes, SamOut& o) {
+  int32_t ptype = p->i32[G_TYPE];
+  int32_t mtype = mate ? mate->i32[G_TYPE] : TYPE_NO_MATCH;
+  if (ptype != TYPE_NO_MATCH || (mate && mtype != TYPE_NO_MATCH)) {
+    int64_t am = 0;
+    int64_t flag = p->i32[G_XFLAG];
+    int64_t j;
+    if (ptype == TYPE_NO_MATCH) {
+      p->i64[F_POS] = mate->i64[F_POS];
+      p->i64[F_RPOS] = mate->i64[F_RPOS];
+      p->i32[G_STRAND] = mate->i32[G_STRAND];
+      flag |= SAM_FSU;
+      j = 1;
+    } else {
+      j = pos_end_es(*p, *pes) - p->i64[F_POS];
+    }
+    int64_t nn;
+    int32_t seqid, dbx;
+    coor_pac2real(ctx, p->i64[F_POS], j, &nn, &seqid, &dbx);
+    const PeDb& db = ctx.dbs[dbx];
+    if (ptype != TYPE_NO_MATCH &&
+        p->i64[F_POS] + j - (db.ann_off[seqid] + db.offset) >
+            (int64_t)db.ann_len[seqid])
+      flag |= SAM_FSU;  // bridges two adjacent reference sequences
+    if (p->i32[G_STRAND]) flag |= SAM_FSR;
+    if (mate) {
+      if (mtype != TYPE_NO_MATCH) {
+        if (mate->i32[G_STRAND]) flag |= SAM_FMR;
+      } else {
+        flag |= SAM_FMU;
+      }
+    }
+    o.str((const char*)rv.name, rv.name_len);
+    o.ch('\t');
+    o.num(flag);
+    o.ch('\t');
+    int64_t nl;
+    const uint8_t* nm = db_ctg_name(db, seqid, &nl);
+    o.str((const char*)nm, nl);
+    o.ch('\t');
+    o.num(p->i64[F_POS] - (db.ann_off[seqid] + db.offset) + 1);
+    o.ch('\t');
+    o.num(p->i32[G_MAPQ]);
+    o.ch('\t');
+    if (pes->has_cigar && !pes->cigar.empty()) {
+      put_cigar(o, pes->cigar);
+    } else if (ptype == TYPE_NO_MATCH) {
+      o.ch('*');
+    } else {
+      o.num(pes->cur_len);
+      o.ch('M');
+    }
+    if (mate && mtype != TYPE_NO_MATCH) {
+      am = std::min(mate->i32[G_SEQ], p->i32[G_SEQ]);
+      int64_t m_nn;
+      int32_t m_seqid, m_dbx;
+      coor_pac2real(ctx, mate->i64[F_POS], mes->cur_len, &m_nn, &m_seqid,
+                    &m_dbx);
+      const PeDb& mdb = ctx.dbs[m_dbx];
+      bool same = (seqid == m_seqid && db.offset == mdb.offset);
+      o.ch('\t');
+      if (same) {
+        o.ch('=');
+      } else {
+        int64_t mnl;
+        const uint8_t* mn = db_ctg_name(mdb, m_seqid, &mnl);
+        o.str((const char*)mn, mnl);
+      }
+      o.ch('\t');
+      int64_t isize = same ? pos_5_es(*mate, *mes) - pos_5_es(*p, *pes) : 0;
+      if (ptype == TYPE_NO_MATCH) isize = 0;
+      o.num(mate->i64[F_POS] - (mdb.ann_off[m_seqid] + mdb.offset) + 1);
+      o.ch('\t');
+      o.num(isize);
+      o.ch('\t');
+    } else if (mate) {
+      o.cstr("\t=\t");
+      o.num(p->i64[F_POS] - (db.ann_off[seqid] + db.offset) + 1);
+      o.cstr("\t0\t");
+    } else {
+      o.cstr("\t*\t0\t0\t");
+    }
+
+    // sequence + quality (original read orientation rules)
+    if (p->i32[G_STRAND] == 0) {
+      for (int32_t i = 0; i < rv.full_len; ++i)
+        o.ch(kBaseCh[rv.orig[i] > 4 ? 4 : rv.orig[i]]);
+    } else {
+      for (int32_t i = rv.full_len - 1; i >= 0; --i)
+        o.ch(kCompCh[rv.orig[i] > 4 ? 4 : rv.orig[i]]);
+    }
+    o.ch('\t');
+    if (rv.qual) {
+      int64_t cl = std::min<int64_t>(pes->cur_len, rv.full_len);
+      if (p->i32[G_STRAND]) {
+        for (int64_t i = cl - 1; i >= 0; --i) o.ch((char)rv.qual[i]);
+        for (int64_t i = cl; i < rv.full_len; ++i) o.ch((char)rv.qual[i]);
+      } else {
+        o.str((const char*)rv.qual, rv.full_len);
+      }
+    } else {
+      o.ch('*');
+    }
+
+    if (!eo.rg_id.empty()) {
+      o.cstr("\tRG:Z:");
+      o.str(eo.rg_id.data(), eo.rg_id.size());
+    }
+    if (rv.bc_len) {
+      o.cstr("\tBC:Z:");
+      o.str((const char*)rv.bc, rv.bc_len);
+    }
+    if (rv.clip_len < rv.full_len) {
+      o.cstr("\tXC:i:");
+      o.num(rv.clip_len);
+    }
+    if (ptype != TYPE_NO_MATCH) {
+      char XT = "NURM"[ptype];
+      if (nn > 10) XT = 'N';
+      o.cstr("\tXT:A:");
+      o.ch(XT);
+      o.ch('\t');
+      o.cstr((eo.mode & 0x02) ? "NM" : "CM");  // BWA_MODE_COMPREAD
+      o.cstr(":i:");
+      o.num(pes->nm);
+      if (nn) {
+        o.cstr("\tXN:i:");
+        o.num(nn);
+      }
+      if (mate) {
+        o.cstr("\tSM:i:");
+        o.num(p->i32[G_SEQ]);
+        o.cstr("\tAM:i:");
+        o.num(am);
+      }
+      if (ptype != TYPE_MATESW) {
+        o.cstr("\tX0:i:");
+        o.num(p->i64[F_C1]);
+        if (p->i64[F_C1] <= eo.max_top2) {
+          o.cstr("\tX1:i:");
+          o.num(p->i64[F_C2]);
+        }
+      }
+      o.cstr("\tXM:i:");
+      o.num(p->i32[G_NMM]);
+      o.cstr("\tXO:i:");
+      o.num(p->i32[G_NGAPO]);
+      o.cstr("\tXG:i:");
+      o.num(p->i32[G_NGAPO] + p->i32[G_NGAPE]);
+      if (pes->has_md) {
+        o.cstr("\tMD:Z:");
+        o.str(pes->md.data(), pes->md.size());
+      }
+      if (!pes->multis.empty()) {
+        o.cstr("\tXA:Z:");
+        for (const EmitMulti& q : pes->multis) {
+          // the reference REBINDS the local j here (bwase.c:528), so the
+          // ZR block below sees the last multi's span — keep that quirk
+          j = pos_end_multi_es(q, pes->cur_len) - q.pos;
+          int64_t q_nn;
+          int32_t q_seqid, q_dbx;
+          coor_pac2real(ctx, q.pos, j, &q_nn, &q_seqid, &q_dbx);
+          const PeDb& qdb = ctx.dbs[q_dbx];
+          int64_t qnl;
+          const uint8_t* qn = db_ctg_name(qdb, q_seqid, &qnl);
+          o.str((const char*)qn, qnl);
+          o.ch(',');
+          o.ch(q.strand ? '-' : '+');
+          o.num(q.pos - (qdb.ann_off[q_seqid] + qdb.offset) + 1);
+          o.ch(',');
+          if (q.has_cigar && !q.cigar.empty()) {
+            put_cigar(o, q.cigar);
+          } else {
+            o.num(pes->cur_len);
+            o.ch('M');
+          }
+          o.ch(',');
+          o.num(q.gap + q.mm);
+          o.ch(';');
+        }
+      }
+    }
+    if (p->i64[F_POS] != p->i64[F_RPOS]) {
+      int64_t r_nn;
+      int32_t r_seqid, r_dbx;
+      coor_pac2real(ctx, p->i64[F_RPOS], j, &r_nn, &r_seqid, &r_dbx);
+      const PeDb& rdb = ctx.dbs[r_dbx];
+      int64_t rnl;
+      const uint8_t* rn = db_ctg_name(rdb, r_seqid, &rnl);
+      o.cstr("\tZR:Z:");
+      o.str((const char*)rn, rnl);
+      o.ch(',');
+      o.num(p->i64[F_RPOS] - (rdb.ann_off[r_seqid] + rdb.offset) + 1);
+    }
+    o.ch('\n');
+  } else {  // no match (bwase.c:566-581)
+    int64_t flag = p->i32[G_XFLAG] | SAM_FSU;
+    if (mate && mtype == TYPE_NO_MATCH) flag |= SAM_FMU;
+    o.str((const char*)rv.name, rv.name_len);
+    o.ch('\t');
+    o.num(flag);
+    o.cstr("\t*\t0\t0\t*\t*\t0\t0\t");
+    const uint8_t* s = p->i32[G_STRAND] ? rv.rseq : rv.orig;
+    int64_t avail = p->i32[G_STRAND] ? rv.clip_len : rv.full_len;
+    int64_t n = std::min<int64_t>(pes->cur_len, avail);
+    for (int64_t i = 0; i < n; ++i) o.ch(kBaseCh[s[i] > 4 ? 4 : s[i]]);
+    o.ch('\t');
+    if (rv.qual) {
+      int64_t cl = std::min<int64_t>(pes->cur_len, rv.full_len);
+      if (p->i32[G_STRAND]) {
+        for (int64_t i = cl - 1; i >= 0; --i) o.ch((char)rv.qual[i]);
+        for (int64_t i = cl; i < rv.full_len; ++i) o.ch((char)rv.qual[i]);
+      } else {
+        o.str((const char*)rv.qual, rv.full_len);
+      }
+    } else {
+      o.ch('*');
+    }
+    if (!eo.rg_id.empty()) {
+      o.cstr("\tRG:Z:");
+      o.str(eo.rg_id.data(), eo.rg_id.size());
+    }
+    if (rv.bc_len) {
+      o.cstr("\tBC:Z:");
+      o.str((const char*)rv.bc, rv.bc_len);
+    }
+    if (rv.clip_len < rv.full_len) {
+      o.cstr("\tXC:i:");
+      o.num(rv.clip_len);
+    }
+    o.ch('\n');
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
@@ -1178,6 +2084,203 @@ void ibwa_se_stage(void* pctx, int64_t n_reads, int32_t n_occ,
     }
   }
   *rng_state = rng.x;
+}
+
+// Emit-time per-db data: unpacked pac codes, .amb hole list, contig names
+// (concatenated, name_off has n_seqs+1 entries) and per-remap-record gap
+// opens.  Must be called once per db before ibwa_pe_emit.
+void ibwa_pe_set_emit_db(void* pctx, int32_t dbidx, const uint8_t* pac,
+                         int64_t n_holes, const int64_t* amb_off,
+                         const int32_t* amb_len, const uint8_t* names,
+                         const int64_t* name_off, const int32_t* rm_ngapo) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  PeDb& db = ctx->dbs[dbidx];
+  db.pac = pac;
+  db.n_holes = n_holes;
+  db.amb_off = amb_off;
+  db.amb_len = amb_len;
+  db.names = names;
+  db.name_off = name_off;
+  db.rm_ngapo = rm_ngapo;
+  ctx->l_pac_total = 0;
+  for (const PeDb& d : ctx->dbs) ctx->l_pac_total += d.l_pac;
+}
+
+// The batch emit stage.  For SE (is_pe=0, se_mode=1): resolves SA indexes
+// (primary + multis) to positions, computes mapQ, refines, computes MD,
+// corrects trimming and prints one record per read (bwa_sai2sam_se_core
+// batch body, bwase.c:643-708).  For PE (is_pe=1): takes the post-pairing
+// + post-rescue state, refines both ends, re-remaps, swaps pos<->rpos
+// under -R, and prints both records per pair (bwape.c:476-537).
+// Blob arrays are indexed per end-read e (SE: e = unit; PE: e = 2*unit+j)
+// via *_off offset arrays of n_er+1 entries.  Returns the SAM text length
+// (fetch via ibwa_pe_emit_buf) or -1 on error.
+int64_t ibwa_pe_emit(
+    void* pctx, int32_t is_pe, int32_t se_mode, int64_t n_units,
+    const uint8_t* seq_blob, const uint8_t* rseq_blob, const int64_t* seq_off,
+    const uint8_t* orig_blob, const int64_t* orig_off,
+    const uint8_t* qual_blob, const int64_t* qual_off,
+    const uint8_t* name_blob, const int64_t* name_off, const uint8_t* bc_blob,
+    const int64_t* bc_off, const int32_t* clip_len, const int32_t* full_len,
+    const int32_t* max_diff, int64_t* io_i64, int32_t* io_i32,
+    const int32_t* multi_cnt, const int64_t* multi_pos,
+    const int32_t* multi_meta, int32_t multi_cap, const uint32_t* in_cig,
+    const int64_t* in_cig_off, const int32_t* in_cig_cnt, int32_t mode,
+    int32_t max_top2, const char* rg_id) {
+  PeCtx* ctx = (PeCtx*)pctx;
+  init_g_log_n();
+  int64_t n_er = n_units * (is_pe ? 2 : 1);
+  EmitOpts eo{mode, max_top2, rg_id ? std::string(rg_id) : std::string()};
+
+  std::vector<EmitSeq> ess(n_er);
+  std::vector<EmitReadView> rvs(n_er);
+  std::vector<Seq> sqs(n_er);
+  for (int64_t e = 0; e < n_er; ++e) {
+    EmitReadView& rv = rvs[e];
+    rv.seq = seq_blob + seq_off[e];
+    rv.rseq = rseq_blob + seq_off[e];
+    rv.orig = orig_blob + orig_off[e];
+    rv.qual = (qual_off[e + 1] - qual_off[e] == full_len[e])
+                  ? qual_blob + qual_off[e]
+                  : nullptr;
+    rv.name = name_blob + name_off[e];
+    rv.name_len = name_off[e + 1] - name_off[e];
+    rv.bc = bc_blob + bc_off[e];
+    rv.bc_len = bc_off[e + 1] - bc_off[e];
+    rv.clip_len = clip_len[e];
+    rv.full_len = full_len[e];
+    EmitSeq& es = ess[e];
+    es.cur_len = clip_len[e];
+    sqs[e] = Seq{io_i64 + e * NF64, io_i32 + e * NF32, clip_len[e],
+                 full_len[e], max_diff[e]};
+    int32_t mc = multi_cnt ? multi_cnt[e] : 0;
+    es.multis.resize(mc);
+    for (int32_t t = 0; t < mc; ++t) {
+      int64_t b = e * multi_cap + t;
+      EmitMulti& q = es.multis[t];
+      q.pos = multi_pos[b];
+      q.gap = multi_meta[b * 4 + 0];
+      q.mm = multi_meta[b * 4 + 1];
+      q.strand = multi_meta[b * 4 + 2];
+      q.dbidx = multi_meta[b * 4 + 3];
+    }
+    if (in_cig_cnt && in_cig_cnt[e] > 0) {  // mate-rescue cigar (paired_sw)
+      es.cigar.assign(in_cig + in_cig_off[e],
+                      in_cig + in_cig_off[e] + in_cig_cnt[e]);
+      es.has_cigar = true;
+    }
+  }
+
+  if (se_mode) {  // bwa_cal_pac_pos (bwase.c:137-161): single-db SA walks
+    const PeDb& db0 = ctx->dbs[0];
+    for (int64_t e = 0; e < n_er; ++e) {
+      Seq& s = sqs[e];
+      int32_t type = s.i32[G_TYPE];
+      for (EmitMulti& q : ess[e].multis)
+        q.pos = sa2seq(db0, q.strand, (uint32_t)q.pos, s.len);
+      if (type == TYPE_UNIQUE || type == TYPE_REPEAT) {
+        s.i64[F_POS] =
+            sa2seq(db0, s.i32[G_STRAND], (uint32_t)s.i64[F_SA], s.len);
+        int q = approx_mapQ(s, s.max_diff);
+        s.i32[G_SEQ] = s.i32[G_MAPQ] = q;
+      }
+    }
+  }
+
+  // refine + MD + trimming correction, end-major like the Python driver
+  EmitScratch sc;
+  int ends = is_pe ? 2 : 1;
+  for (int j = 0; j < ends; ++j) {
+    for (int64_t u = 0; u < n_units; ++u) {
+      int64_t e = is_pe ? u * 2 + j : u;
+      refine_one(*ctx, sqs[e], ess[e], rvs[e], sc);
+    }
+    for (int64_t u = 0; u < n_units; ++u) {  // MD pass (bwase.c:390-405)
+      int64_t e = is_pe ? u * 2 + j : u;
+      Seq& s = sqs[e];
+      if (s.i32[G_TYPE] != TYPE_NO_MATCH) {
+        EmitSeq& es = ess[e];
+        const uint8_t* sseq =
+            s.i32[G_STRAND] ? rvs[e].rseq : es.seq_fwd.data();
+        if (es.seq_fwd.empty() && !s.i32[G_STRAND]) {
+          es.seq_fwd.assign(rvs[e].seq, rvs[e].seq + rvs[e].clip_len);
+          std::reverse(es.seq_fwd.begin(), es.seq_fwd.end());
+          sseq = es.seq_fwd.data();
+        }
+        emit_cal_md(*ctx, es, s.i64[F_RPOS], sseq, es.cur_len, sc);
+      }
+    }
+    for (int64_t u = 0; u < n_units; ++u) {  // bwa_correct_trimmed
+      int64_t e = is_pe ? u * 2 + j : u;
+      correct_trimmed(ess[e], sqs[e].i32[G_STRAND], clip_len[e],
+                      full_len[e]);
+    }
+  }
+
+  if (is_pe) {  // post-refine re-remap (bwape.c:493-505)
+    for (int j = 0; j < 2; ++j) {
+      for (int64_t u = 0; u < n_units; ++u) {
+        int64_t e = u * 2 + j;
+        Seq& s = sqs[e];
+        RemapIO rio;
+        rio.pos = s.i64[F_POS];
+        rio.n_gapo = s.i32[G_NGAPO];
+        rio.n_gape = s.i32[G_NGAPE];
+        rio.len = ess[e].cur_len;
+        int status = do_remap(*ctx, &rio, s.i32[G_DBIDX]);
+        s.i32[G_DBIDX] = rio.dbidx;
+        s.i64[F_RPOS] = rio.remapped_pos;
+        s.i32[G_RSEQID] = rio.remapped_seqid;
+        s.i32[G_RIDENT] = rio.remap_identical;
+        if (status == 0) {  // always unmaps when -R is off (ref quirk)
+          fprintf(stderr, "Failed to remap read %.*s after refining gaps.\n",
+                  (int)rvs[e].name_len, (const char*)rvs[e].name);
+          unmap_read(s);
+          ess[e].has_cigar = false;
+          ess[e].cigar.clear();
+        }
+      }
+    }
+  }
+
+  std::string& out = ctx->emit_buf;
+  out.clear();
+  out.reserve((size_t)n_er * 256);
+  SamOut o{out};
+  if (is_pe) {
+    std::string bc_merge;
+    for (int64_t u = 0; u < n_units; ++u) {
+      int64_t e0 = u * 2, e1 = u * 2 + 1;
+      // barcode merge (bwape.c:509-516)
+      EmitReadView& r0 = rvs[e0];
+      EmitReadView& r1 = rvs[e1];
+      if (r0.bc_len || r1.bc_len) {
+        bc_merge.assign((const char*)r0.bc, r0.bc_len);
+        bc_merge.append((const char*)r1.bc, r1.bc_len);
+        r0.bc = r1.bc = (const uint8_t*)bc_merge.data();
+        r0.bc_len = r1.bc_len = (int64_t)bc_merge.size();
+      }
+      if (ctx->remapping) {  // swap so SAM uses primary coords
+        std::swap(sqs[e0].i64[F_POS], sqs[e0].i64[F_RPOS]);
+        std::swap(sqs[e1].i64[F_POS], sqs[e1].i64[F_RPOS]);
+      } else {
+        sqs[e0].i64[F_RPOS] = sqs[e0].i64[F_POS];
+        sqs[e1].i64[F_RPOS] = sqs[e1].i64[F_POS];
+      }
+      print_sam1(*ctx, eo, &sqs[e0], &ess[e0], rvs[e0], &sqs[e1], &ess[e1],
+                 o);
+      print_sam1(*ctx, eo, &sqs[e1], &ess[e1], rvs[e1], &sqs[e0], &ess[e0],
+                 o);
+    }
+  } else {
+    for (int64_t e = 0; e < n_er; ++e)
+      print_sam1(*ctx, eo, &sqs[e], &ess[e], rvs[e], nullptr, nullptr, o);
+  }
+  return (int64_t)out.size();
+}
+
+const char* ibwa_pe_emit_buf(void* pctx) {
+  return ((PeCtx*)pctx)->emit_buf.data();
 }
 
 // .sai batch scan: parse up to n_reads records from blob; writes per-read

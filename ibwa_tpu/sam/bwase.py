@@ -698,7 +698,7 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
                            l_bc=opt.mode >> 24)
         import os
         nat = None
-        if not os.environ.get("IBWA_PURE_PY"):
+        if not os.environ.get("IBWA_PURE_PY") and not color:
             import dataclasses as _dc
             from .pe_native import PeNative, scan_sai_batch
 
@@ -712,13 +712,33 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
         for start in range(0, len(reads), BATCH):
             batch = reads[start:start + BATCH]
             if nat is not None:
+                # fully native batch: selection -> SA resolution -> refine
+                # -> MD -> print, one call chain with no per-read Python
                 from .pe_native import scan_sai_batch
                 counts, recs, used = scan_sai_batch(blob[cursor:],
                                                     len(batch))
                 cursor += used
-                nat.set_sai_batch(0, 0, counts, recs, len(batch))
-                seqs = [AlnSeq(read=r) for r in batch]
-                nat.se_select(seqs, n_occ, rng)
+                n = len(batch)
+                nat.set_sai_batch(0, 0, counts, recs, n)
+                i64, i32, mc, mpos, mmeta, cap = nat.se_select_arrays(
+                    n, n_occ, rng)
+                lens = np.array([r.clip_len for r in batch],
+                                dtype=np.int32)
+                fulls = np.array([r.full_len for r in batch],
+                                 dtype=np.int32)
+                if opt.fnr > 0.0:
+                    md_by_len = {int(v): cal_maxdiff(int(v), BWA_AVG_ERR,
+                                                     opt.fnr)
+                                 for v in np.unique(lens)}
+                    mdiff = np.array([md_by_len[int(v)] for v in lens],
+                                     dtype=np.int32)
+                else:
+                    mdiff = np.full(n, opt.max_diff, dtype=np.int32)
+                text = nat.emit(batch, lens, fulls, mdiff, i64, i32,
+                                mc, mpos, mmeta, cap, None, opt.mode,
+                                opt.max_top2, rg_id, is_pe=False,
+                                se_mode=True)
+                out.write(text.decode("latin-1"))
             else:
                 seqs = []
                 for r in batch:
@@ -726,10 +746,10 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
                     hits = sai.read_read_hits(fp)
                     aln2seq_core(hits or [], s, True, n_occ, rng)
                     seqs.append(s)
-            cal_pac_pos(dbs, seqs, opt.max_diff, opt.fnr)
-            refine_gapped(dbs, seqs)
-            for s in seqs:
-                print_sam1(dbs, s, None, opt.mode, opt.max_top2, out,
-                           rg_id)
+                cal_pac_pos(dbs, seqs, opt.max_diff, opt.fnr)
+                refine_gapped(dbs, seqs)
+                for s in seqs:
+                    print_sam1(dbs, s, None, opt.mode, opt.max_top2, out,
+                               rg_id)
             print(f"[samse] {start + len(batch)} sequences processed",
                   file=sys.stderr)

@@ -59,6 +59,24 @@ def _lib():
     lib.ibwa_se_stage.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, u64p, i64p, i32p,
         ctypes.c_int32, i32p, i64p, i32p]
+    lib.ibwa_pe_set_emit_db.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, u8p, ctypes.c_int64, i64p, i32p,
+        u8p, i64p, i32p]
+    lib.ibwa_pe_emit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        u8p, u8p, i64p,          # seq, rseq, seq_off
+        u8p, i64p,               # orig, orig_off
+        u8p, i64p,               # qual, qual_off
+        u8p, i64p,               # name, name_off
+        u8p, i64p,               # bc, bc_off
+        i32p, i32p, i32p,        # clip_len, full_len, max_diff
+        i64p, i32p,              # io_i64, io_i32
+        i32p, i64p, i32p, ctypes.c_int32,   # multis
+        u32p, i64p, i32p,        # in_cig, in_cig_off, in_cig_cnt
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p]
+    lib.ibwa_pe_emit.restype = ctypes.c_int64
+    lib.ibwa_pe_emit_buf.argtypes = [ctypes.c_void_p]
+    lib.ibwa_pe_emit_buf.restype = ctypes.c_void_p
     _sigs_done = True
     return lib
 
@@ -166,11 +184,27 @@ class PeNative:
                                   _ptr(counts, ctypes.c_int32),
                                   _ptr(recs, ctypes.c_uint32), n_reads)
 
-    def se_stage(self, seqs, max_diffs: np.ndarray, rng) -> None:
-        """Run the serial SE selection for the batch; updates `seqs`
-        (tuple of two AlnSeq lists) and the Rand48 state in place."""
-        n = len(seqs[0])
-        lens, fulls, i64, i32 = _pack_state(seqs)
+    def se_select_arrays(self, n: int, n_occ: int, rng):
+        """samse selection returning the raw state arrays (no per-read
+        Python objects) for the native emit path."""
+        i64 = np.zeros(n * NF64, dtype=np.int64)
+        i32 = np.zeros(n * NF32, dtype=np.int32)
+        st = np.array([rng.x], dtype=np.uint64)
+        cap = max(n_occ, 1)
+        mc = np.zeros(n, dtype=np.int32)
+        mpos = np.zeros(n * cap, dtype=np.int64)
+        mmeta = np.zeros(n * cap * 4, dtype=np.int32)
+        self._lib.ibwa_se_stage(
+            self._ctx, n, n_occ, _ptr(st, ctypes.c_uint64),
+            _ptr(i64, ctypes.c_int64), _ptr(i32, ctypes.c_int32), cap,
+            _ptr(mc, ctypes.c_int32), _ptr(mpos, ctypes.c_int64),
+            _ptr(mmeta, ctypes.c_int32))
+        rng.x = int(st[0])
+        return i64, i32, mc, mpos, mmeta, cap
+
+    def se_stage_arrays(self, n: int, lens, fulls, max_diffs, i64, i32,
+                        rng) -> None:
+        """Serial PE SE-selection over raw state arrays (no AlnSeq)."""
         md = np.ascontiguousarray(max_diffs, dtype=np.int32)
         st = np.array([rng.x], dtype=np.uint64)
         self._lib.ibwa_pe_se_stage(
@@ -179,11 +213,12 @@ class PeNative:
             _ptr(st, ctypes.c_uint64), _ptr(i64, ctypes.c_int64),
             _ptr(i32, ctypes.c_int32))
         rng.x = int(st[0])
-        _unpack_state(seqs, i64, i32)
 
-    def pe_stage(self, seqs, max_diffs: np.ndarray, ii, popt, rng) -> int:
-        n = len(seqs[0])
-        lens, fulls, i64, i32 = _pack_state(seqs)
+    def pe_stage_arrays(self, n: int, lens, fulls, max_diffs, ii, popt,
+                        i64, i32, rng):
+        """PE candidate expansion + pairing + XA over raw state arrays.
+
+        Returns (cnt_chg, mc, mpos, mmeta, cap)."""
         md = np.ascontiguousarray(max_diffs, dtype=np.int32)
         st = np.array([rng.x], dtype=np.uint64)
         cap = max(popt.n_multi, popt.N_multi, 1)
@@ -200,102 +235,116 @@ class PeNative:
             _ptr(i32, ctypes.c_int32), cap, _ptr(mc, ctypes.c_int32),
             _ptr(mpos, ctypes.c_int64), _ptr(mmeta, ctypes.c_int32))
         rng.x = int(st[0])
-        _unpack_state(seqs, i64, i32)
-        for i in range(n):
-            for j in range(2):
-                e = 2 * i + j
-                s = seqs[j][i]
-                s.multi = []
-                for t in range(int(mc[e])):
-                    b = (e * cap + t)
-                    s.multi.append(Multi(
-                        pos=int(mpos[b]), gap=int(mmeta[b * 4 + 0]),
-                        mm=int(mmeta[b * 4 + 1]),
-                        strand=int(mmeta[b * 4 + 2]),
-                        dbidx=int(mmeta[b * 4 + 3])))
-        return int(cnt_chg)
+        return int(cnt_chg), mc, mpos, mmeta, cap
 
-    def se_select(self, seqs, n_occ: int, rng) -> None:
-        """samse selection (bwa_aln2seq_core) for a batch whose groups
-        were registered via set_sai_batch(0, 0, ...).  Sets exactly the
-        fields the Python aln2seq_core sets; positions stay SA indexes
-        (cal_pac_pos resolves them, including multi hits)."""
-        n = len(seqs)
-        i64 = np.zeros(n * NF64, dtype=np.int64)
-        i32 = np.zeros(n * NF32, dtype=np.int32)
-        st = np.array([rng.x], dtype=np.uint64)
-        cap = max(n_occ, 1)
-        mc = np.zeros(n, dtype=np.int32)
-        mpos = np.zeros(n * cap, dtype=np.int64)
-        mmeta = np.zeros(n * cap * 4, dtype=np.int32)
-        self._lib.ibwa_se_stage(
-            self._ctx, n, n_occ, _ptr(st, ctypes.c_uint64),
-            _ptr(i64, ctypes.c_int64), _ptr(i32, ctypes.c_int32), cap,
-            _ptr(mc, ctypes.c_int32), _ptr(mpos, ctypes.c_int64),
-            _ptr(mmeta, ctypes.c_int32))
-        rng.x = int(st[0])
-        v64 = i64.tolist()
-        v32 = i32.tolist()
-        mcl = mc.tolist()
-        for i, s in enumerate(seqs):
-            o = i * NF64
-            s.sa, s.c1, s.c2 = v64[o + 2], v64[o + 3], v64[o + 4]
-            o = i * NF32
-            s.type = v32[o + 0]
-            s.strand = v32[o + 1]
-            s.n_mm = v32[o + 2]
-            s.n_gapo = v32[o + 3]
-            s.n_gape = v32[o + 4]
-            s.score = v32[o + 5]
-            s.multi = [Multi(pos=int(mpos[i * cap + t]),
-                             gap=int(mmeta[(i * cap + t) * 4 + 0]),
-                             mm=int(mmeta[(i * cap + t) * 4 + 1]),
-                             strand=int(mmeta[(i * cap + t) * 4 + 2]))
-                       for t in range(mcl[i])]
+    def enable_emit(self) -> None:
+        """Register the emit-time per-db data (pac codes, .amb holes,
+        contig names, remap gap-opens) for ibwa_pe_emit."""
+        if getattr(self, "_emit_ready", False):
+            return
+        for i, db in enumerate(self._dbs.dbs):
+            pac = db.load_pac()
+            if not pac.flags.c_contiguous:
+                pac = np.ascontiguousarray(pac)
+            bns = db.bns
+            amb_off = np.array([h.offset for h in bns.ambs], dtype=np.int64)
+            amb_len = np.array([h.length for h in bns.ambs], dtype=np.int32)
+            names = [a.name.encode("latin-1") for a in bns.anns]
+            name_off = np.zeros(len(names) + 1, dtype=np.int64)
+            name_off[1:] = np.cumsum([len(n) for n in names])
+            name_blob = np.frombuffer(b"".join(names) or b"\0",
+                                      dtype=np.uint8)
+            n_rm = 0
+            if db.remap is not None and db.remap:
+                n_rm = max(db.remap.keys()) + 1
+            rm_ngapo = np.zeros(max(n_rm, 1), dtype=np.int32)
+            if db.remap:
+                for seqid, m in db.remap.items():
+                    rm_ngapo[seqid] = m.n_gapo
+            self._keep += [pac, amb_off, amb_len, name_blob, name_off,
+                           rm_ngapo]
+            self._lib.ibwa_pe_set_emit_db(
+                self._ctx, i, _ptr(pac, ctypes.c_uint8), len(bns.ambs),
+                _ptr(amb_off, ctypes.c_int64), _ptr(amb_len, ctypes.c_int32),
+                _ptr(name_blob, ctypes.c_uint8),
+                _ptr(name_off, ctypes.c_int64),
+                _ptr(rm_ngapo, ctypes.c_int32))
+        self._emit_ready = True
+
+    def emit(self, reads_by_e, lens, fulls, max_diff, i64, i32,
+             multi_cnt, multi_pos, multi_meta, multi_cap: int,
+             in_cigs: dict | None, mode: int, max_top2: int,
+             rg_id: str | None, is_pe: bool, se_mode: bool) -> bytes:
+        """Native refine + MD + correct_trimmed + print_sam1 for a batch
+        (ibwa_pe_emit).  reads_by_e: Read objects in end-read order.
+        Returns the SAM text for the batch as bytes."""
+        self.enable_emit()
+        n_er = len(reads_by_e)
+        seq_blob = (np.concatenate([r.seq for r in reads_by_e])
+                    if n_er else np.zeros(0, np.uint8))
+        rseq_blob = (np.concatenate([r.rseq for r in reads_by_e])
+                     if n_er else np.zeros(0, np.uint8))
+        seq_off = np.zeros(n_er + 1, dtype=np.int64)
+        seq_off[1:] = np.cumsum(np.asarray(lens, dtype=np.int64))
+        orig_blob = (np.concatenate([r.orig for r in reads_by_e])
+                     if n_er else np.zeros(0, np.uint8))
+        orig_off = np.zeros(n_er + 1, dtype=np.int64)
+        orig_off[1:] = np.cumsum(np.asarray(fulls, dtype=np.int64))
+        quals = [r.qual or b"" for r in reads_by_e]
+        qual_off = np.zeros(n_er + 1, dtype=np.int64)
+        qual_off[1:] = np.cumsum([len(q) for q in quals])
+        qual_blob = np.frombuffer(b"".join(quals) or b"\0", dtype=np.uint8)
+        names = [r.name.encode("latin-1") for r in reads_by_e]
+        name_off = np.zeros(n_er + 1, dtype=np.int64)
+        name_off[1:] = np.cumsum([len(n) for n in names])
+        name_blob = np.frombuffer(b"".join(names) or b"\0", dtype=np.uint8)
+        bcs = [r.bc.encode("latin-1") for r in reads_by_e]
+        bc_off = np.zeros(n_er + 1, dtype=np.int64)
+        bc_off[1:] = np.cumsum([len(b) for b in bcs])
+        bc_blob = np.frombuffer(b"".join(bcs) or b"\0", dtype=np.uint8)
+        if in_cigs:
+            cnts = np.zeros(n_er, dtype=np.int32)
+            for e, cig in in_cigs.items():
+                cnts[e] = len(cig)
+            cig_off = np.zeros(n_er + 1, dtype=np.int64)
+            cig_off[1:] = np.cumsum(cnts)
+            cig_blob = np.zeros(max(int(cig_off[-1]), 1), dtype=np.uint32)
+            for e, cig in in_cigs.items():
+                cig_blob[cig_off[e]:cig_off[e] + len(cig)] = cig
+        else:
+            cnts = np.zeros(n_er, dtype=np.int32)
+            cig_off = np.zeros(n_er + 1, dtype=np.int64)
+            cig_blob = np.zeros(1, dtype=np.uint32)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        fulls = np.ascontiguousarray(fulls, dtype=np.int32)
+        md = np.ascontiguousarray(max_diff, dtype=np.int32)
+        n = self._lib.ibwa_pe_emit(
+            self._ctx, 1 if is_pe else 0, 1 if se_mode else 0,
+            n_er // 2 if is_pe else n_er,
+            _ptr(seq_blob, ctypes.c_uint8), _ptr(rseq_blob, ctypes.c_uint8),
+            _ptr(seq_off, ctypes.c_int64),
+            _ptr(orig_blob, ctypes.c_uint8), _ptr(orig_off, ctypes.c_int64),
+            _ptr(qual_blob, ctypes.c_uint8), _ptr(qual_off, ctypes.c_int64),
+            _ptr(name_blob, ctypes.c_uint8), _ptr(name_off, ctypes.c_int64),
+            _ptr(bc_blob, ctypes.c_uint8), _ptr(bc_off, ctypes.c_int64),
+            _ptr(lens, ctypes.c_int32), _ptr(fulls, ctypes.c_int32),
+            _ptr(md, ctypes.c_int32),
+            _ptr(i64, ctypes.c_int64), _ptr(i32, ctypes.c_int32),
+            _ptr(multi_cnt, ctypes.c_int32), _ptr(multi_pos, ctypes.c_int64),
+            _ptr(multi_meta, ctypes.c_int32), multi_cap,
+            _ptr(cig_blob, ctypes.c_uint32), _ptr(cig_off, ctypes.c_int64),
+            _ptr(cnts, ctypes.c_int32),
+            mode, max_top2,
+            rg_id.encode("latin-1") if rg_id else None)
+        if n < 0:
+            raise RuntimeError("ibwa_pe_emit failed")
+        return ctypes.string_at(self._lib.ibwa_pe_emit_buf(self._ctx), n)
 
     def __del__(self):
         try:
             self._lib.ibwa_pe_free(self._ctx)
         except Exception:
             pass
-
-
-def _pack_state(seqs):
-    """AlnSeq fields -> flat arrays; built via Python lists (a numpy
-    scalar store per field costs ~10x a list append at 600k reads)."""
-    n = len(seqs[0])
-    lens_l, fulls_l, i64_l, i32_l = [], [], [], []
-    for i in range(n):
-        for j in range(2):
-            s = seqs[j][i]
-            lens_l.append(s.len)
-            fulls_l.append(s.read.full_len)
-            i64_l += (s.pos, s.remapped_pos, s.sa, s.c1, s.c2)
-            i32_l += (s.type, s.strand, s.n_mm, s.n_gapo, s.n_gape,
-                      s.score, s.mapQ, s.seQ, s.dbidx, s.remapped_seqid,
-                      s.remap_identical, s.extra_flag)
-    return (np.array(lens_l, dtype=np.int32),
-            np.array(fulls_l, dtype=np.int32),
-            np.array(i64_l, dtype=np.int64),
-            np.array(i32_l, dtype=np.int32))
-
-
-def _unpack_state(seqs, i64, i32):
-    n = len(seqs[0])
-    v64 = i64.tolist()
-    v32 = i32.tolist()
-    for i in range(n):
-        for j in range(2):
-            e = 2 * i + j
-            s = seqs[j][i]
-            o = e * NF64
-            (s.pos, s.remapped_pos, s.sa, s.c1, s.c2) = v64[o:o + NF64]
-            o = e * NF32
-            (s.type, s.strand, s.n_mm, s.n_gapo, s.n_gape, s.score,
-             s.mapQ, s.seQ, s.dbidx, s.remapped_seqid, s.remap_identical,
-             s.extra_flag) = v32[o:o + NF32]
-            if s.type == 0:  # unmapped: clear cigar like unmap_read
-                s.cigar = None
 
 
 def scan_sai_batch(blob: bytes, n_reads: int

@@ -202,8 +202,6 @@ def select_sai_ibwa(dbs: DbSet, ag: list[Alignment], s: AlnSeq,
 def infer_isize(seqs: tuple[list[AlnSeq], list[AlnSeq]], ii: IsizeInfo,
                 ap_prior: float, L: int) -> int:
     """infer_isize (bwape.c:103-199)."""
-    ii.avg = ii.std = -1.0
-    ii.low = ii.high = ii.high_bayesian = 0
     isizes = []
     max_len = 1
     for p0, p1 in zip(*seqs):
@@ -212,6 +210,28 @@ def infer_isize(seqs: tuple[list[AlnSeq], list[AlnSeq]], ii: IsizeInfo,
         if p0.mapQ >= 20 and p1.mapQ >= 20 and x < 100000:
             isizes.append(x)
         max_len = max(max_len, p0.len, p1.len)
+    return _isize_stats(isizes, max_len, ii, ap_prior, L)
+
+
+def infer_isize_arrays(i64: np.ndarray, i32: np.ndarray, lens: np.ndarray,
+                       ii: IsizeInfo, ap_prior: float, L: int) -> int:
+    """infer_isize over the raw state arrays (native emit path)."""
+    from .pe_native import NF32, NF64
+    pos = i64.reshape(-1, NF64)[:, 0]
+    mq = i32.reshape(-1, NF32)[:, 6]
+    p0, p1 = pos[0::2], pos[1::2]
+    l0 = lens[0::2].astype(np.int64)
+    l1 = lens[1::2].astype(np.int64)
+    x = np.where(p0 < p1, p1 + l1 - p0, p0 + l0 - p1)
+    good = (mq[0::2] >= 20) & (mq[1::2] >= 20) & (x < 100000)
+    max_len = int(lens.max()) if len(lens) else 1
+    return _isize_stats([int(v) for v in x[good]], max_len, ii, ap_prior, L)
+
+
+def _isize_stats(isizes: list[int], max_len: int, ii: IsizeInfo,
+                 ap_prior: float, L: int) -> int:
+    ii.avg = ii.std = -1.0
+    ii.low = ii.high = ii.high_bayesian = 0
     tot = len(isizes)
     if tot < 20:
         print("[infer_isize] fail to infer insert size: too few good pairs",
@@ -533,23 +553,13 @@ def select_sai_multi(dbs: DbSet, ag: list[Alignment], s: AlnSeq,
     s.multi = z[:n_multi]
 
 
-def _batch_max_diffs(seqs, gopt: GapOpt) -> np.ndarray:
-    """Per-end-read max_diff in (read, end) order (e = 2*i + j)."""
-    n = len(seqs[0])
-    md = np.empty(2 * n, dtype=np.int32)
-    cache: dict[int, int] = {}
-    for i in range(n):
-        for j in range(2):
-            ln = seqs[j][i].len
-            if gopt.fnr > 0.0:
-                v = cache.get(ln)
-                if v is None:
-                    v = cal_maxdiff(ln, BWA_AVG_ERR, gopt.fnr)
-                    cache[ln] = v
-            else:
-                v = gopt.max_diff
-            md[2 * i + j] = v
-    return md
+def _batch_max_diffs_lens(lens: np.ndarray, gopt: GapOpt) -> np.ndarray:
+    """Per-end-read max_diff from the clip-length array."""
+    if gopt.fnr > 0.0:
+        by_len = {int(v): cal_maxdiff(int(v), BWA_AVG_ERR, gopt.fnr)
+                  for v in np.unique(lens)}
+        return np.array([by_len[int(v)] for v in lens], dtype=np.int32)
+    return np.full(len(lens), gopt.max_diff, dtype=np.int32)
 
 
 def _apply_isize_fallbacks(ii: IsizeInfo, last_ii: IsizeInfo,
@@ -563,28 +573,6 @@ def _apply_isize_fallbacks(ii: IsizeInfo, last_ii: IsizeInfo,
               "request.", file=sys.stderr)
         ii.low = ii.high = 0
         ii.avg = ii.std = -1.0
-
-
-def cal_pac_pos_pe_native(dbs: DbSet, seqs, pe_nat, ii: IsizeInfo,
-                          popt: PeOpt, gopt: GapOpt, last_ii: IsizeInfo,
-                          rng: Rand48) -> int:
-    """bwa_cal_pac_pos_pe via the compiled per-read stage (pe_stage.cpp).
-
-    Identical semantics to cal_pac_pos_pe below; the groups were
-    registered on the native context by the caller (set_sai_batch)."""
-    n_seqs = len(seqs[0])
-    for i in range(n_seqs):
-        for j in range(2):
-            p = seqs[j][i]
-            p.multi = []
-            p.extra_flag |= SAM_FPD | (SAM_FR1 if j == 0 else SAM_FR2)
-    md = _batch_max_diffs(seqs, gopt)
-    pe_nat.se_stage(seqs, md, rng)
-
-    infer_isize(seqs, ii, popt.ap_prior, dbs.l_pac)
-    _apply_isize_fallbacks(ii, last_ii, popt)
-
-    return pe_nat.pe_stage(seqs, md, ii, popt, rng)
 
 
 def cal_pac_pos_pe(dbs: DbSet, seqs, saisets, count: int, ii: IsizeInfo,
@@ -728,9 +716,20 @@ def paired_sw(dbs: DbSet, seqs, popt: PeOpt, ii: IsizeInfo) -> None:
     n_mapped = [0, 0]
     for i in range(len(seqs[0])):
         p = (seqs[0][i], seqs[1][i])
+        _paired_sw_pair(dbs, p, popt, ii, n_tot, n_mapped)
+    print(f"[bwa_paired_sw] {n_mapped[1]} out of {n_tot[1]} Q{SW_MIN_MAPQ} "
+          f"singletons are mated.", file=sys.stderr)
+    print(f"[bwa_paired_sw] {n_mapped[0]} out of {n_tot[0]} Q{SW_MIN_MAPQ} "
+          f"discordant pairs are fixed.", file=sys.stderr)
+
+
+def _paired_sw_pair(dbs: DbSet, p, popt: PeOpt, ii: IsizeInfo,
+                    n_tot, n_mapped) -> None:
+    """One pair's mate-rescue attempt (bwasw.c:158-268)."""
+    if True:
         if not ((p[0].mapQ >= SW_MIN_MAPQ or p[1].mapQ >= SW_MIN_MAPQ)
                 and (p[0].extra_flag & SAM_FPP) == 0):
-            continue
+            return
         is_singleton = int(p[0].type == TYPE_NO_MATCH
                            or p[1].type == TYPE_NO_MATCH)
         n_tot[is_singleton] += 1
@@ -809,10 +808,75 @@ def paired_sw(dbs: DbSet, seqs, popt: PeOpt, ii: IsizeInfo) -> None:
             p[k].n_gape = cnt[k] & 0xFF
             p[k].extra_flag |= SAM_FPP
             p[1 - k].extra_flag |= SAM_FPP
+
+
+class _ArrSeq:
+    """AlnSeq-compatible view over the raw state arrays, used to run the
+    (unchanged) mate-rescue pair body on the native emit path."""
+
+    _I64 = {"pos": 0, "remapped_pos": 1, "sa": 2, "c1": 3, "c2": 4}
+    _I32 = {"type": 0, "strand": 1, "n_mm": 2, "n_gapo": 3, "n_gape": 4,
+            "score": 5, "mapQ": 6, "seQ": 7, "dbidx": 8,
+            "remapped_seqid": 9, "remap_identical": 10, "extra_flag": 11}
+    __slots__ = ("_i64", "_i32", "read", "len", "cigar")
+
+    def __init__(self, i64_row, i32_row, read, length):
+        object.__setattr__(self, "_i64", i64_row)
+        object.__setattr__(self, "_i32", i32_row)
+        object.__setattr__(self, "read", read)
+        object.__setattr__(self, "len", length)
+        object.__setattr__(self, "cigar", None)
+
+    def __getattr__(self, name):
+        f = self._I64.get(name)
+        if f is not None:
+            return int(self._i64[f])
+        f = self._I32.get(name)
+        if f is not None:
+            return int(self._i32[f])
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        f = self._I64.get(name)
+        if f is not None:
+            self._i64[f] = value
+            return
+        f = self._I32.get(name)
+        if f is not None:
+            self._i32[f] = value
+            return
+        object.__setattr__(self, name, value)
+
+
+def paired_sw_arrays(dbs: DbSet, reads, lens: np.ndarray, i64: np.ndarray,
+                     i32: np.ndarray, popt: PeOpt, ii: IsizeInfo
+                     ) -> dict[int, list[int]]:
+    """bwa_paired_sw over the raw state arrays; returns the rescue cigars
+    keyed by end-read index (for ibwa_pe_emit's in_cig input)."""
+    in_cigs: dict[int, list[int]] = {}
+    if not (popt.is_sw and ii.avg >= 0.0):
+        return in_cigs
+    from .pe_native import NF32, NF64
+    i64r = i64.reshape(-1, NF64)
+    i32r = i32.reshape(-1, NF32)
+    mq = i32r[:, 6]
+    cand = (((mq[0::2] >= SW_MIN_MAPQ) | (mq[1::2] >= SW_MIN_MAPQ))
+            & ((i32r[0::2, 11] & SAM_FPP) == 0))
+    n_tot = [0, 0]
+    n_mapped = [0, 0]
+    for i in np.nonzero(cand)[0]:
+        e0, e1 = 2 * int(i), 2 * int(i) + 1
+        p = (_ArrSeq(i64r[e0], i32r[e0], reads[0][int(i)], int(lens[e0])),
+             _ArrSeq(i64r[e1], i32r[e1], reads[1][int(i)], int(lens[e1])))
+        _paired_sw_pair(dbs, p, popt, ii, n_tot, n_mapped)
+        for k in (0, 1):
+            if p[k].cigar is not None:
+                in_cigs[2 * int(i) + k] = p[k].cigar
     print(f"[bwa_paired_sw] {n_mapped[1]} out of {n_tot[1]} Q{SW_MIN_MAPQ} "
           f"singletons are mated.", file=sys.stderr)
     print(f"[bwa_paired_sw] {n_mapped[0]} out of {n_tot[0]} Q{SW_MIN_MAPQ} "
           f"discordant pairs are fixed.", file=sys.stderr)
+    return in_cigs
 
 
 BATCH = 0x40000
@@ -845,7 +909,7 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     # native per-read stage (pe_stage.cpp) unless IBWA_PURE_PY=1; the
     # Python loops below remain the semantic reference + fallback
     import os as _os
-    use_native = not _os.environ.get("IBWA_PURE_PY")
+    use_native = not _os.environ.get("IBWA_PURE_PY") and not color
     pe_nat = None
     blobs: list[list[bytes]] = [[], []]
     cursors: list[list[int]] = [[], []]
@@ -868,23 +932,55 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     last_ii = IsizeInfo()
     tot = 0
     for start in range(0, len(reads[0]), BATCH):
-        seqs = ([AlnSeq(read=r) for r in reads[0][start:start + BATCH]],
-                [AlnSeq(read=r) for r in reads[1][start:start + BATCH]])
+        batch = (reads[0][start:start + BATCH],
+                 reads[1][start:start + BATCH])
         ii = IsizeInfo()
         if pe_nat is not None:
-            from .pe_native import scan_sai_batch
-            n_batch = len(seqs[0])
+            # array-state native batch: selection -> isize -> pairing ->
+            # rescue -> refine/MD/print, with no per-read Python objects
+            from .pe_native import NF32, NF64, scan_sai_batch
+            n_batch = len(batch[0])
             for which in range(2):
                 for i in range(count):
                     counts, recs, used = scan_sai_batch(
                         blobs[which][i][cursors[which][i]:], n_batch)
                     cursors[which][i] += used
                     pe_nat.set_sai_batch(which, i, counts, recs, n_batch)
-            cnt_chg = cal_pac_pos_pe_native(dbs, seqs, pe_nat, ii, popt,
-                                            gopt, last_ii, rng)
-        else:
-            cnt_chg = cal_pac_pos_pe(dbs, seqs, fps, count, ii, popt, gopt,
-                                     last_ii, rng)
+            lens = np.empty(2 * n_batch, dtype=np.int32)
+            fulls = np.empty(2 * n_batch, dtype=np.int32)
+            for j in range(2):
+                lens[j::2] = [r.clip_len for r in batch[j]]
+                fulls[j::2] = [r.full_len for r in batch[j]]
+            md = _batch_max_diffs_lens(lens, gopt)
+            i64 = np.zeros(2 * n_batch * NF64, dtype=np.int64)
+            i32 = np.zeros(2 * n_batch * NF32, dtype=np.int32)
+            i32r = i32.reshape(-1, NF32)
+            i32r[0::2, 11] = SAM_FPD | SAM_FR1
+            i32r[1::2, 11] = SAM_FPD | SAM_FR2
+            pe_nat.se_stage_arrays(n_batch, lens, fulls, md, i64, i32, rng)
+            infer_isize_arrays(i64, i32, lens, ii, popt.ap_prior, dbs.l_pac)
+            _apply_isize_fallbacks(ii, last_ii, popt)
+            cnt_chg, mc, mpos, mmeta, cap = pe_nat.pe_stage_arrays(
+                n_batch, lens, fulls, md, ii, popt, i64, i32, rng)
+            print(f"[sai2sam_pe] changing coordinates of {cnt_chg} "
+                  f"alignments.", file=sys.stderr)
+            in_cigs = paired_sw_arrays(dbs, batch, lens, i64, i32, popt, ii)
+            reads_by_e = [batch[j][i] for i in range(n_batch)
+                          for j in range(2)]
+            text = pe_nat.emit(reads_by_e, lens, fulls, md, i64, i32,
+                               mc, mpos, mmeta, cap, in_cigs, gopt.mode,
+                               gopt.max_top2, rg_id, is_pe=True,
+                               se_mode=False)
+            out.write(text.decode("latin-1"))
+            tot += n_batch
+            print(f"[sai2sam_pe] {tot} sequences have been processed.",
+                  file=sys.stderr)
+            last_ii = ii
+            continue
+        seqs = ([AlnSeq(read=r) for r in batch[0]],
+                [AlnSeq(read=r) for r in batch[1]])
+        cnt_chg = cal_pac_pos_pe(dbs, seqs, fps, count, ii, popt, gopt,
+                                 last_ii, rng)
         print(f"[sai2sam_pe] changing coordinates of {cnt_chg} alignments.",
               file=sys.stderr)
         paired_sw(dbs, seqs, popt, ii)
