@@ -497,19 +497,122 @@ def bsw2_aln_one(opt0: Bsw2Opt, bns: Bns, pac: np.ndarray,
     print_hits(bns, opt, name, seq_str, qual, b0, out)
 
 
+class Bsw2Native:
+    """Native per-read bwasw driver (bsw2.cpp's ibwa_bsw2_run): the whole
+    bwtsw2_aux.c pipeline in C++.  aux.py's Python pipeline remains the
+    oracle (IBWA_PURE_PY=1)."""
+
+    def __init__(self, bns: Bns, prefix: str,
+                 fms: tuple[FmIndex, FmIndex]):
+        import ctypes
+
+        self._ct = ctypes
+        self._lib = native.load()
+        pac_packed = np.fromfile(prefix + ".pac", dtype=np.uint8)
+        l_pac = (len(pac_packed) - 2) * 4 + int(pac_packed[-1])
+        pac_packed = pac_packed[:(l_pac + 3) // 4].copy()
+        fmf, fmr = fms
+        itl_f = np.ascontiguousarray(fmf._interleaved, dtype=np.uint32)
+        itl_r = np.ascontiguousarray(fmr._interleaved, dtype=np.uint32)
+        l2 = np.ascontiguousarray(fmf.L2, dtype=np.uint32)
+        sa_f = np.ascontiguousarray(fmf.sa, dtype=np.uint32)
+        sa_r = np.ascontiguousarray(fmr.sa, dtype=np.uint32)
+        ann_off = np.array([a.offset for a in bns.anns], dtype=np.int64)
+        ann_len = np.array([a.length for a in bns.anns], dtype=np.int64)
+        names = [a.name.encode("latin-1") for a in bns.anns]
+        name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        name_off[1:] = np.cumsum([len(s) for s in names])
+        name_blob = np.frombuffer(b"".join(names) or b"\0", dtype=np.uint8)
+        amb_off = np.array([h.offset for h in bns.ambs], dtype=np.int64)
+        amb_len = np.array([h.length for h in bns.ambs], dtype=np.int64)
+        self._keep = [pac_packed, itl_f, itl_r, l2, sa_f, sa_r, ann_off,
+                      ann_len, name_blob, name_off, amb_off, amb_len]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        self._ctx = self._lib.ibwa_bsw2_new_ctx(
+            p(itl_f, ctypes.c_uint32), fmf.primary,
+            p(itl_r, ctypes.c_uint32), fmr.primary,
+            p(l2, ctypes.c_uint32), fmf.seq_len, fmf.sa_intv,
+            p(sa_f, ctypes.c_uint32), p(sa_r, ctypes.c_uint32),
+            p(pac_packed, ctypes.c_uint8), bns.l_pac, bns.n_seqs,
+            p(ann_off, ctypes.c_int64), p(ann_len, ctypes.c_int64),
+            p(name_blob, ctypes.c_uint8), p(name_off, ctypes.c_int64),
+            bns.n_holes, p(amb_off, ctypes.c_int64),
+            p(amb_len, ctypes.c_int64))
+
+    def run(self, opt: Bsw2Opt, names: list[bytes], seqs: list[bytes],
+            quals: list[bytes], rng: Rand48) -> bytes:
+        ctypes = self._ct
+        n = len(names)
+        p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+
+        def blob(parts):
+            off = np.zeros(n + 1, dtype=np.int64)
+            off[1:] = np.cumsum([len(x) for x in parts])
+            return (np.frombuffer(b"".join(parts) or b"\0",
+                                  dtype=np.uint8), off)
+
+        seq_b, seq_o = blob(seqs)
+        qual_b, qual_o = blob(quals)
+        name_b, name_o = blob(names)
+        st = np.array([rng.x], dtype=np.uint64)
+        ln = self._lib.ibwa_bsw2_run(
+            self._ctx, n, p(seq_b, ctypes.c_uint8),
+            p(seq_o, ctypes.c_int64), p(qual_b, ctypes.c_uint8),
+            p(qual_o, ctypes.c_int64), p(name_b, ctypes.c_uint8),
+            p(name_o, ctypes.c_int64), p(st, ctypes.c_uint64),
+            opt.a, opt.b, opt.q, opt.r, opt.t, opt.bw, opt.z, opt.is_,
+            opt.t_seeds, opt.hard_clip, opt.mask_level, opt.coef)
+        if ln < 0:
+            raise RuntimeError("ibwa_bsw2_run failed")
+        rng.x = int(st[0])
+        return self._ct.string_at(self._lib.ibwa_bsw2_text(self._ctx), ln)
+
+    def __del__(self):
+        try:
+            self._lib.ibwa_bsw2_free_ctx(self._ctx)
+        except Exception:
+            pass
+
+
 def bsw2_aln(opt: Bsw2Opt, prefix: str, fq_path: str,
              out: TextIO = sys.stdout) -> None:
     """bsw2_aln (bwtsw2_aux.c:605-650) + bwa_bwtsw2 (bwtsw2_main.c)."""
+    import os
+
     from ..io.fasta import read_fastx
 
     bns = formats.read_ann(prefix + ".ann")
     formats.read_amb(prefix + ".amb", bns)
-    pac = formats.read_pac(prefix + ".pac")
     fms = (FmIndex(load_index(prefix, 0)), FmIndex(load_index(prefix, 1)))
     rng = Rand48(11)  # srand48(11), bwtsw2_main.c:19
     for a in bns.anns:
         out.write(f"@SQ\tSN:{a.name}\tLN:{a.length}\n")
     n = 0
+    if not os.environ.get("IBWA_PURE_PY"):
+        nat = Bsw2Native(bns, prefix, fms)
+        names: list[bytes] = []
+        seqs: list[bytes] = []
+        quals: list[bytes] = []
+        budget = 0
+        for rec in read_fastx(fq_path):
+            names.append(rec.name.encode("latin-1"))
+            seqs.append(rec.seq.encode("latin-1"))
+            quals.append((rec.qual or "").encode("latin-1"))
+            budget += len(rec.seq)
+            n += 1
+            if budget >= opt.chunk_size:  # 10 Mbp chunks (bwtsw2_aux.c:624)
+                out.write(nat.run(opt, names, seqs, quals,
+                                  rng).decode("latin-1"))
+                names, seqs, quals, budget = [], [], [], 0
+        if names:
+            out.write(nat.run(opt, names, seqs, quals,
+                              rng).decode("latin-1"))
+        print(f"[bsw2_aln] {n} sequences processed", file=sys.stderr)
+        return
+    pac = formats.read_pac(prefix + ".pac")
     for rec in read_fastx(fq_path):
         bsw2_aln_one(opt, bns, pac, fms, rec.name, rec.seq,
                      rec.qual or None, rng, out)

@@ -38,23 +38,42 @@ class FmIndex:
         self.sa_intv = idx.sa_intv
         self.sa = idx.sa
         self._interleaved = idx.interleaved
+        self._ckpt = None
+        self._words = None
+
+    # the de-interleaved SoA planes (device export) are built lazily: the
+    # native SAM stages query through `_interleaved` only, and the copy
+    # is ~18 MB + 15 ms per strand on a 32 Mbp genome
+    @property
+    def ckpt(self) -> np.ndarray:
+        if self._ckpt is None:
+            self._build_soa()
+        return self._ckpt
+
+    @property
+    def words(self) -> np.ndarray:
+        if self._words is None:
+            self._build_soa()
+        return self._words
+
+    def _build_soa(self) -> None:
         # the interleaved stream is ragged: every block is 4 ckpt words + up
         # to 8 text words; only the last block may be short
         n_blk = (self.seq_len + OCC_INTV - 1) // OCC_INTV
         n_text_words = (self.seq_len + 15) >> 4
-        flat = idx.interleaved
-        self.ckpt = np.zeros((n_blk + 1, 4), dtype=np.uint32)
-        self.words = np.zeros((n_blk, 8), dtype=np.uint32)
+        flat = self._interleaved
+        self._ckpt = np.zeros((n_blk + 1, 4), dtype=np.uint32)
+        self._words = np.zeros((n_blk, 8), dtype=np.uint32)
         if n_blk:
             full = n_blk - 1
             body = flat[: full * 12].reshape(full, 12)
-            self.ckpt[:full] = body[:, :4]
-            self.words[:full] = body[:, 4:]
+            self._ckpt[:full] = body[:, :4]
+            self._words[:full] = body[:, 4:]
             rem = n_text_words - full * 8
             off = full * 12
-            self.ckpt[full] = flat[off : off + 4]
-            self.words[full, :rem] = flat[off + 4 : off + 4 + rem]
-            self.ckpt[n_blk] = flat[off + 4 + rem : off + 8 + rem]
+            self._ckpt[full] = flat[off : off + 4]
+            self._words[full, :rem] = flat[off + 4 : off + 4 + rem]
+            self._ckpt[n_blk] = flat[off + 4 + rem : off + 8 + rem]
 
     # -- scalar queries ----------------------------------------------------
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import os
 import struct
 
 import numpy as np
@@ -259,11 +260,17 @@ def write_bwt(path: str, idx: BwtIndex) -> None:
 
 def read_bwt(path: str) -> BwtIndex:
     with open(path, "rb") as f:
-        data = f.read()
-    primary = struct.unpack_from("<I", data, 0)[0]
+        head = f.read(20)
+    primary = struct.unpack_from("<I", head, 0)[0]
     l2 = np.zeros(5, dtype=np.uint32)
-    l2[1:] = np.frombuffer(data, dtype="<u4", count=4, offset=4)
-    interleaved = np.frombuffer(data, dtype="<u4", offset=20).copy()
+    l2[1:] = np.frombuffer(head, dtype="<u4", count=4, offset=4)
+    # memmap: SAM stages touch only the blocks their SA walks visit, so
+    # faulting pages in on demand beats reading the whole strand upfront
+    # (the reference pays the full fread, bwtio.c:51-70 — our startup is
+    # the dominant samse cost at the 8k-read bench scale)
+    size = os.path.getsize(path)
+    interleaved = np.memmap(path, dtype="<u4", mode="r", offset=20,
+                            shape=((size - 20) // 4,))
     return BwtIndex(primary=primary, L2=l2, seq_len=int(l2[4]),
                     interleaved=interleaved)
 

@@ -40,15 +40,24 @@ def _build_stamp() -> str:
 
 
 def _build() -> None:
+    # link to a temp path + atomic rename: ld truncates its output file in
+    # place, which would corrupt the mapped pages of any process that
+    # already dlopened the previous build
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
-        *_SRCS, "-o", _LIB,
+        *_SRCS, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         raise RuntimeError(
             f"native build failed ({' '.join(cmd)}):\n{e.stderr}") from e
+    os.replace(tmp, _LIB)
     with open(_LIB + ".stamp", "w") as fh:
         fh.write(_build_stamp())
 
@@ -121,6 +130,26 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64, u8p, ctypes.c_int32, ctypes.c_char_p,
             ctypes.c_int64, i32p]
         lib.ibwa_cal_md.restype = ctypes.c_int64
+        lib.ibwa_bsw2_new_ctx.argtypes = [
+            u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
+            ctypes.c_uint32, ctypes.c_uint32, u32p, u32p,
+            u8p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+            u8p, i64p, ctypes.c_int64, i64p, i64p]
+        lib.ibwa_bsw2_new_ctx.restype = ctypes.c_void_p
+        lib.ibwa_bsw2_free_ctx.argtypes = [ctypes.c_void_p]
+        lib.ibwa_bsw2_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, u8p, i64p, u8p, i64p, u8p,
+            i64p, u64p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double]
+        lib.ibwa_bsw2_run.restype = ctypes.c_int64
+        lib.ibwa_bsw2_text.argtypes = [ctypes.c_void_p]
+        lib.ibwa_bsw2_text.restype = ctypes.c_void_p
+        lib.ibwa_fastq_scan.argtypes = [
+            u8p, ctypes.c_int64, i64p, u8p, i64p, u8p, i64p, u8p, i64p]
+        lib.ibwa_fastq_scan.restype = ctypes.c_int64
         lib.ibwa_match_gap_batch.argtypes = [
             u32p, ctypes.c_uint32, u32p, ctypes.c_uint32, u32p,
             ctypes.c_uint32, u8p, u8p, i64p, i32p, i32p, i32p, i32p,

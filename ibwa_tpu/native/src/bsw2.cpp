@@ -16,9 +16,13 @@
 //   bsw2_resolve_duphits     bwtsw2_core.c:261-327
 //   bwt_lite construction    bwt_lite.c:9-54
 
+#include <time.h>
+
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -40,13 +44,30 @@ struct Itl {
   const uint32_t* sampled_sa;
 };
 
-static uint32_t cnt_prefix(uint32_t word, int c, int nbases) {
-  uint32_t t = word ^ (0x55555555u * (uint32_t)c);
-  t = ~t;
-  t &= t >> 1;
-  t &= 0x55555555u;
-  if (nbases < 16) t &= ~((1u << ((16 - nbases) * 2)) - 1u);
-  return (uint32_t)__builtin_popcount(t);
+// per-byte packed symbol counts (8 bits per channel) — the reference's
+// bwt_gen_cnt_table / __occ_aux4 trick (bwt.c:36-45,153-155): one table
+// lookup counts all four channels of 4 bases at once
+static uint32_t kCntTbl[256];
+static const bool kCntInit = [] {
+  for (int b = 0; b < 256; ++b) {
+    uint32_t x = 0;
+    for (int j = 0; j < 4; ++j) x += 1u << (((b >> (2 * j)) & 3) * 8);
+    kCntTbl[b] = x;
+  }
+  return true;
+}();
+
+static inline uint32_t occ_aux4(uint32_t w) {
+  return kCntTbl[w & 0xff] + kCntTbl[(w >> 8) & 0xff] +
+         kCntTbl[(w >> 16) & 0xff] + kCntTbl[w >> 24];
+}
+
+// packed counts of the first `nb` bases (1..16) of a text word; channel 0
+// overcount of masked-out trailing bases is subtracted exactly as the
+// reference does (bwt.c:188: "- (~k&15)")
+static inline uint32_t occ_aux4_partial(uint32_t w, uint32_t nb) {
+  if (nb < 16) w &= ~((1u << ((16 - nb) * 2)) - 1u);
+  return occ_aux4(w) - (16 - nb);
 }
 
 static void fm_occ4(const Itl& b, uint32_t k, int64_t out[4]) {
@@ -63,12 +84,10 @@ static void fm_occ4(const Itl& b, uint32_t k, int64_t out[4]) {
   const uint32_t* w = blk + 4;
   uint32_t base0 = (k / 128) * 128;
   uint32_t full_words = (k - base0) / 16;
-  for (int c = 0; c < 4; ++c) {
-    uint32_t n = blk[c];
-    for (uint32_t j = 0; j < full_words; ++j) n += cnt_prefix(w[j], c, 16);
-    n += cnt_prefix(w[full_words], c, (int)(k % 16) + 1);
-    out[c] = n;
-  }
+  uint32_t x = 0;
+  for (uint32_t j = 0; j < full_words; ++j) x += occ_aux4(w[j]);
+  x += occ_aux4_partial(w[full_words], (uint32_t)(k % 16) + 1);
+  for (int c = 0; c < 4; ++c) out[c] = blk[c] + ((x >> (8 * c)) & 0xff);
 }
 
 // paired occ4 at (k, l) sharing the block scan when both land in one
@@ -89,14 +108,14 @@ static void fm_2occ4(const Itl& b, uint32_t k, uint32_t l, int64_t ck[4],
   const uint32_t* w = blk + 4;
   uint32_t base0 = (k2 / 128) * 128;
   uint32_t fw_k = (k2 - base0) / 16, fw_l = (l2 - base0) / 16;
+  uint32_t x = 0, j = 0;
+  for (; j < fw_k; ++j) x += occ_aux4(w[j]);
+  uint32_t xk = x + occ_aux4_partial(w[fw_k], (k2 % 16) + 1);
+  for (; j < fw_l; ++j) x += occ_aux4(w[j]);
+  uint32_t xl = x + occ_aux4_partial(w[fw_l], (l2 % 16) + 1);
   for (int c = 0; c < 4; ++c) {
-    uint32_t n = blk[c];
-    uint32_t j = 0;
-    for (; j < fw_k; ++j) n += cnt_prefix(w[j], c, 16);
-    uint32_t nk = n + cnt_prefix(w[fw_k], c, (int)(k2 % 16) + 1);
-    for (; j < fw_l; ++j) n += cnt_prefix(w[j], c, 16);
-    ck[c] = nk;
-    cl[c] = n + cnt_prefix(w[fw_l], c, (int)(l2 % 16) + 1);
+    ck[c] = blk[c] + ((xk >> (8 * c)) & 0xff);
+    cl[c] = blk[c] + ((xl >> (8 * c)) & 0xff);
   }
 }
 
@@ -108,10 +127,10 @@ static uint32_t fm_occ1(const Itl& b, uint32_t k, int c) {
   const uint32_t* w = blk + 4;
   uint32_t base0 = (k / 128) * 128;
   uint32_t full_words = (k - base0) / 16;
-  uint32_t n = blk[c];
-  for (uint32_t j = 0; j < full_words; ++j) n += cnt_prefix(w[j], c, 16);
-  n += cnt_prefix(w[full_words], c, (int)(k % 16) + 1);
-  return n;
+  uint32_t x = 0;
+  for (uint32_t j = 0; j < full_words; ++j) x += occ_aux4(w[j]);
+  x += occ_aux4_partial(w[full_words], (uint32_t)(k % 16) + 1);
+  return blk[c] + ((x >> (8 * c)) & 0xff);
 }
 
 static inline int fm_code_at(const Itl& b, uint32_t k) {
@@ -246,24 +265,95 @@ static void cut_tail(Entry& u, int T) {
   }
 }
 
-// remove_duplicate (bwtsw2_core.c:147-172)
+// Flat open-addressing uint64->uint64 hash (khash-style; the reference
+// uses khash here and std::unordered_map's node allocations were ~40% of
+// core time).  Key 0 is the empty sentinel — callers never insert 0.
+struct FlatU64Map {
+  std::vector<uint64_t> keys, vals;
+  size_t mask = 0, n = 0;
+
+  void reset(size_t expect) {
+    size_t cap = 16;
+    while (cap < expect * 2) cap <<= 1;
+    if (cap > keys.size()) {
+      keys.assign(cap, 0);
+      vals.resize(cap);
+    } else {
+      std::fill(keys.begin(), keys.end(), 0);
+    }
+    mask = keys.size() - 1;
+    n = 0;
+  }
+
+  static inline size_t hash(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xFF51AFD7ED558CCDULL;
+    k ^= k >> 33;
+    return (size_t)k;
+  }
+
+  // returns slot value pointer; *created = true if newly inserted
+  uint64_t* get(uint64_t key, bool* created) {
+    if (n * 2 >= keys.size()) grow();
+    size_t i = hash(key) & mask;
+    while (keys[i] != 0 && keys[i] != key) i = (i + 1) & mask;
+    if (keys[i] == 0) {
+      keys[i] = key;
+      vals[i] = 0;
+      ++n;
+      *created = true;
+    } else {
+      *created = false;
+    }
+    return &vals[i];
+  }
+
+  // lookup only; nullptr if absent
+  uint64_t* find(uint64_t key) {
+    size_t i = hash(key) & mask;
+    while (keys[i] != 0 && keys[i] != key) i = (i + 1) & mask;
+    return keys[i] ? &vals[i] : nullptr;
+  }
+
+  void grow() {
+    std::vector<uint64_t> ok(std::move(keys)), ov(std::move(vals));
+    keys.assign(ok.size() * 2, 0);
+    vals.resize(ok.size() * 2);
+    mask = keys.size() - 1;
+    for (size_t j = 0; j < ok.size(); ++j)
+      if (ok[j]) {
+        size_t i = hash(ok[j]) & mask;
+        while (keys[i]) i = (i + 1) & mask;
+        keys[i] = ok[j];
+        vals[i] = ov[j];
+      }
+  }
+};
+
+// remove_duplicate (bwtsw2_core.c:147-172); value packs idx<<32 | G+2^31
 static void remove_duplicate(Entry& u) {
-  std::unordered_map<uint64_t, std::pair<int, int64_t>> seen;  // -> idx, G
+  static thread_local FlatU64Map seen;
+  seen.reset(u.cells.size());
   for (int i = 0; i < (int)u.cells.size(); ++i) {
     Cell& p = u.cells[i];
     if (p.ql == 0) continue;
     uint64_t key = ((uint64_t)p.qk << 32) | (uint64_t)p.ql;
     int j = -1;
-    auto it = seen.find(key);
-    if (it != seen.end()) {
-      if (it->second.second >= p.G) {
+    bool created;
+    uint64_t* v = seen.get(key, &created);
+    uint64_t packed =
+        ((uint64_t)(uint32_t)i << 32) |
+        (uint64_t)(uint32_t)((int64_t)p.G + 0x80000000LL);
+    if (!created) {
+      int64_t seen_g = (int64_t)(uint32_t)*v - 0x80000000LL;
+      if (seen_g >= p.G) {
         j = i;
       } else {
-        j = it->second.first;
-        it->second = {i, p.G};
+        j = (int)(*v >> 32);
+        *v = packed;
       }
     } else {
-      seen.emplace(key, std::make_pair(i, p.G));
+      *v = packed;
     }
     if (j >= 0) {
       Cell& p2 = u.cells[j];
@@ -439,7 +529,8 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
                       std::vector<Hit>& b, std::vector<Hit>& b1,
                       EntryPool& pool) {
   // connectivity prepass (bwtsw2_core.c:87-120)
-  std::unordered_map<uint64_t, uint64_t> chash;
+  static thread_local FlatU64Map chash;
+  chash.reset((size_t)target.seq_len * 2 + 16);
   {
     std::vector<std::pair<int64_t, int64_t>> stack;
     stack.push_back({0, target.seq_len});
@@ -454,12 +545,13 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
         int64_t l = target.L2[j] + cntl[j];
         if (k > l) continue;
         uint64_t key = ((uint64_t)k << 32) | (uint64_t)l;
-        auto it = chash.find(key);
-        if (it == chash.end()) {
-          chash.emplace(key, 1);
+        bool created;
+        uint64_t* slot = chash.get(key, &created);
+        if (created) {
+          *slot = 1;
           stack.push_back({k, l});
         } else {
-          it->second += 1;
+          *slot += 1;
         }
       }
     }
@@ -511,7 +603,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
       int64_t l = target.L2[tj] + tcntl[tj];
       if (k > l) continue;
       uint64_t key = ((uint64_t)k << 32) | (uint64_t)l;
-      uint64_t& slot = chash[key];
+      uint64_t& slot = *chash.find(key);
       slot -= 1;
       uint32_t cnt = (uint32_t)(slot & 0xFFFFFFFFu);
       Entry* u = pool.alloc();
@@ -609,7 +701,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
 
       if (!u->cells.empty()) save_hits(target, opt.t, b, *u);
       // push u to stack0 or pending (bwtsw2_core.c:546-580)
-      uint64_t full = chash[key];
+      uint64_t full = *chash.find(key);
       uint64_t pos = full >> 32;
       if (pos) {
         Entry* w = pending[pos - 1];
@@ -633,7 +725,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
         if (!u->cells.empty()) {
           n_pending += 1;
           pending.push_back(u);
-          chash[key] = ((uint64_t)pending.size() << 32) | cnt;
+          *chash.find(key) = ((uint64_t)pending.size() << 32) | cnt;
         } else {
           pool.put(u);
         }
@@ -650,6 +742,752 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
 
   resolve_duphits(&query, b, opt.IS);
   resolve_duphits(&query, b1, opt.IS);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Native per-read driver: the bwtsw2_aux.c pipeline (chain filter,
+// extensions, CIGAR, fix_cigar, SAM emission).  Semantic source of truth
+// is ibwa_tpu/bwasw/aux.py (kept as the IBWA_PURE_PY oracle); reference
+// lines cited per function.  Python list.sort is stable, so every sort
+// here is std::stable_sort to keep tie order identical to the oracle.
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t ibwa_extend_aln(const uint8_t*, int32_t, const uint8_t*,
+                                   int32_t, int32_t, int32_t, int32_t,
+                                   const int32_t*, int32_t, int32_t,
+                                   int32_t*);
+extern "C" int32_t ibwa_global_aln(const uint8_t*, int32_t, const uint8_t*,
+                                   int32_t, int32_t, int32_t, int32_t,
+                                   int32_t, const int32_t*, int32_t,
+                                   uint32_t*, int32_t, int32_t*);
+
+namespace {
+
+struct BswOpt {
+  int a, b, q, r, t, bw, z, is_, t_seeds, hard_clip;
+  double mask_level, coef;
+};
+
+struct BswCtx {
+  Itl fm[2];                 // 0 = fwd, 1 = rev
+  const uint8_t* pac;        // packed 2-bit .pac bytes
+  int64_t l_pac;
+  int32_t n_seqs;
+  const int64_t* ann_off;
+  const int64_t* ann_len;
+  const uint8_t* name_blob;
+  const int64_t* name_off;
+  int64_t n_holes;
+  const int64_t* amb_off;
+  const int64_t* amb_len;
+  std::string buf;
+};
+
+inline int pac_base(const uint8_t* pac, int64_t p) {
+  return (pac[p >> 2] >> ((~p & 3) << 1)) & 3;
+}
+
+// drand48 (rng.py semantics: step then X / 2^48)
+inline double bsw_drand48(uint64_t* x) {
+  *x = (0x5DEECE66DULL * *x + 0xBULL) & 0xFFFFFFFFFFFFULL;
+  return (double)*x / 9007199254740992.0 * 32.0;  // 2^53 / 32 == 2^48
+}
+
+struct HL {
+  std::vector<Hit> hits;
+  std::vector<std::vector<uint32_t>> cigars;  // len<<4|op (samtools enc)
+  std::vector<uint8_t> has_cig;
+};
+
+// env-gated stage timers (IBWA_BSW2_TIME=1)
+static double g_t_core = 0, g_t_ext = 0, g_t_cig = 0, g_t_other = 0;
+static double bsw_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+// chaining (bwtsw2_chain.c:16-42); z entries are (tbeg,tend,qbeg,qend,
+// flag,idx,chain)
+struct Chain {
+  int64_t tbeg, tend, qbeg, qend;
+  int32_t flag, idx, chain;
+};
+
+static std::vector<Chain> bsw_chaining(const BswOpt& opt, int shift,
+                                       std::vector<Chain>& z) {
+  std::stable_sort(z.begin(), z.end(),
+                   [](const Chain& a, const Chain& b) {
+                     return a.qbeg < b.qbeg;
+                   });
+  std::vector<Chain> chains;
+  for (Chain& p : z) {
+    int k = (int)chains.size() - 1;
+    for (; k >= 0; --k) {
+      Chain& q = chains[k];
+      int64_t x = p.qbeg - q.qbeg;
+      int64_t y = p.tbeg - q.tbeg;
+      if (y > 0 && x - y <= opt.bw && y - x <= opt.bw) {
+        if (p.qend > q.qend) q.qend = p.qend;
+        if (p.tend > q.tend) q.tend = p.tend;
+        q.chain += 1;
+        p.chain = shift + k;
+        break;
+      }
+    }
+    if (k < 0) {
+      Chain c = p;
+      c.chain = 1;
+      c.idx = shift + (int)chains.size();
+      p.chain = shift + (int)chains.size();
+      chains.push_back(c);
+    }
+  }
+  return chains;
+}
+
+// bsw2_chain_filter (bwtsw2_chain.c:44-107)
+static void bsw_chain_filter(const BswOpt& opt, int64_t length, HL* b0,
+                             HL* b1) {
+  HL* b[2] = {b0, b1};
+  std::vector<Chain> z[2];
+  for (int k = 0; k < 2; ++k)
+    for (size_t i = 0; i < b[k]->hits.size(); ++i) {
+      const Hit& p = b[k]->hits[i];
+      z[k].push_back(Chain{p.k, p.k + p.len, p.beg, p.end, k, (int32_t)i,
+                           -1});
+    }
+  std::vector<Chain> chains0 = bsw_chaining(opt, 0, z[0]);
+  std::vector<Chain> chains1 =
+      bsw_chaining(opt, (int)chains0.size(), z[1]);
+  for (Chain& p : chains1) {
+    int64_t tmp = p.qbeg;
+    p.qbeg = length - p.qend;
+    p.qend = length - tmp;
+  }
+  std::vector<Chain> allc = chains0;
+  allc.insert(allc.end(), chains1.begin(), chains1.end());
+  std::vector<uint8_t> flag(allc.size(), 0);
+  std::vector<Chain> order = allc;
+  std::stable_sort(order.begin(), order.end(),
+                   [](const Chain& a, const Chain& b) {
+                     return a.qbeg < b.qbeg;
+                   });
+  for (size_t k = 1; k < order.size(); ++k) {
+    const Chain& p = order[k];
+    for (size_t j = 0; j < k; ++j) {
+      const Chain& q = order[j];
+      if (flag[q.idx]) continue;
+      if (q.qend >= p.qend &&
+          q.chain > (int64_t)p.chain * opt.t_seeds * 2) {
+        flag[p.idx] = 1;
+        break;
+      }
+    }
+  }
+  for (int k = 0; k < 2; ++k) {
+    for (const Chain& p : z[k])
+      if (flag[p.chain]) b[p.flag]->hits[p.idx].G = 0;
+    std::vector<Hit> kept;
+    for (const Hit& h : b[k]->hits)
+      if (h.G) kept.push_back(h);
+    b[k]->hits.swap(kept);
+  }
+}
+
+// bsw2_extend_left (bwtsw2_aux.c:80-129); pac access goes through the
+// packed accessor, reversed-pac indexing mirrors aux.py::extend_left
+static void bsw_extend_left(const BswCtx& ctx, const BswOpt& opt, HL& b,
+                            const uint8_t* query, int64_t lq, bool is_rev,
+                            const int32_t* matrix,
+                            std::vector<uint8_t>& rquery,
+                            std::vector<uint8_t>& target) {
+  std::stable_sort(b.hits.begin(), b.hits.end(),
+                   [](const Hit& a, const Hit& c) { return a.end > c.end; });
+  rquery.assign(query, query + lq);
+  std::reverse(rquery.begin(), rquery.end());
+  int64_t l_pac = ctx.l_pac;
+  for (size_t i = 0; i < b.hits.size(); ++i) {
+    Hit& p = b.hits[i];
+    p.n_seeds = 1;
+    if (p.l || p.k == 0) continue;
+    int score = 0;
+    for (size_t j = 0; j < i; ++j) {
+      Hit& q = b.hits[j];
+      if (q.beg <= p.beg && q.k <= p.k && q.k + q.len >= p.k + p.len) {
+        if (q.n_seeds < (1 << 14) - 2) q.n_seeds += 1;
+        ++score;
+      }
+    }
+    if (score) continue;
+    int64_t lt = ((p.beg + 1) / 2 * opt.a + opt.r) / opt.r + lq;
+    if (lt > p.k) lt = p.k;
+    // bases p.k-1 down to (exclusive) max(p.k-1-lt, 0): index 0 is never
+    // included (the reference's FIXME, bwtsw2_aux.c:103)
+    int64_t lo = p.k - 1 - lt;
+    if (lo < 0) lo = 0;
+    int64_t n = p.k - 1 - lo;
+    target.resize(n);
+    if (is_rev)
+      for (int64_t j = 0; j < n; ++j)
+        target[j] = pac_base(ctx.pac, l_pac - 1 - (p.k - 1 - j));
+    else
+      for (int64_t j = 0; j < n; ++j)
+        target[j] = pac_base(ctx.pac, p.k - 1 - j);
+    int32_t meta[3] = {0, 0, 0};
+    ibwa_extend_aln(target.data(), (int32_t)n,
+                    rquery.data() + (lq - p.beg), (int32_t)p.beg,
+                    opt.q, opt.r, opt.bw, matrix, 5, (int32_t)p.G, meta);
+    if (meta[0] > p.G) {
+      p.G = meta[0];
+      p.len += meta[1];
+      p.beg -= meta[2];
+      p.k -= meta[1];
+    }
+  }
+}
+
+// bsw2_extend_rght (bwtsw2_aux.c:131-164)
+static void bsw_extend_rght(const BswCtx& ctx, const BswOpt& opt, HL& b,
+                            const uint8_t* query, int64_t lq, bool is_rev,
+                            const int32_t* matrix,
+                            std::vector<uint8_t>& target) {
+  int64_t l_pac = ctx.l_pac;
+  for (Hit& p : b.hits) {
+    if (p.l) continue;
+    int64_t lt = ((lq - p.beg + 1) / 2 * opt.a + opt.r) / opt.r + lq;
+    int64_t hi = p.k + lt;
+    if (hi > l_pac) hi = l_pac;
+    int64_t n = hi - p.k;
+    if (n < 0) n = 0;
+    target.resize(n);
+    if (is_rev)
+      for (int64_t j = 0; j < n; ++j)
+        target[j] = pac_base(ctx.pac, l_pac - 1 - (p.k + j));
+    else
+      for (int64_t j = 0; j < n; ++j)
+        target[j] = pac_base(ctx.pac, p.k + j);
+    int32_t meta[3] = {0, 0, 0};
+    ibwa_extend_aln(target.data(), (int32_t)n, query + p.beg,
+                    (int32_t)(lq - p.beg), opt.q, opt.r, opt.bw, matrix, 5,
+                    1, meta);
+    if (meta[0] >= p.G) {
+      p.G = meta[0];
+      p.len = meta[1];
+      p.end = meta[2] + p.beg;
+    }
+  }
+}
+
+// merge_hits (bwtsw2_aux.c:231-252)
+static void bsw_merge_hits(HL& b0, HL& b1, int64_t length,
+                           bool is_reverse) {
+  for (Hit& p : b1.hits) {
+    if (is_reverse) {
+      int64_t x = p.beg;
+      p.beg = length - p.end;
+      p.end = length - x;
+      p.flag |= 0x10;
+    }
+    b0.hits.push_back(p);
+  }
+  b1.hits.clear();
+}
+
+static void hl_from_vec(std::vector<Hit>& v, HL& out) {
+  out.hits.swap(v);
+  out.cigars.clear();
+  out.has_cig.clear();
+}
+
+// bsw2_resolve_query_overlaps (bwtsw2_core.c:329-378)
+static void bsw_resolve_query_overlaps(HL& b, double mask_level,
+                                       uint64_t* rng) {
+  size_t n = b.hits.size();
+  if (!n) return;
+  std::stable_sort(b.hits.begin(), b.hits.end(),
+                   [](const Hit& a, const Hit& c) { return a.G > c.G; });
+  int64_t G0 = b.hits[0].G;
+  size_t i = 1;
+  while (i < n && b.hits[i].G == G0) ++i;
+  size_t j = (size_t)(i * bsw_drand48(rng));
+  if (j) std::swap(b.hits[0], b.hits[j]);
+  size_t cut = n;
+  for (i = 1; i < n; ++i) {
+    Hit& p = b.hits[i];
+    bool all_compatible = true;
+    if (p.G == 0) {
+      cut = i;
+      break;
+    }
+    for (size_t k = 0; k < i; ++k) {
+      Hit& q = b.hits[k];
+      if (q.G == 0) continue;
+      int64_t tol = 0;
+      int64_t qol = std::min(p.end, q.end) - std::max(p.beg, q.beg);
+      if (qol < 0) qol = 0;
+      if (p.l == 0 && q.l == 0) {
+        tol = std::min(p.k + p.len, q.k + q.len) - std::max(p.k, q.k);
+        if (tol < 0) tol = 0;
+      }
+      double fol =
+          (double)qol / (double)std::min(p.end - p.beg, q.end - q.beg);
+      bool compatible = fol < mask_level ||
+                        (tol > 0 && qol < p.end - p.beg &&
+                         qol < q.end - q.beg);
+      if (!compatible) {
+        if (q.G2 < p.G) q.G2 = p.G;
+        all_compatible = false;
+      }
+    }
+    if (!all_compatible) p.G = 0;
+  }
+  std::vector<Hit> kept;
+  for (size_t k = 0; k < cut; ++k)
+    if (b.hits[k].G != 0) kept.push_back(b.hits[k]);
+  b.hits.swap(kept);
+}
+
+// bsw2_aln1_core (bwtsw2_aux.c:252-276)
+static void bsw_resolve_query_overlaps(HL& b, double mask_level,
+                                       uint64_t* rng);
+static void bsw_aln1_core(BswCtx& ctx, const BswOpt& opt, int64_t length,
+                          const uint8_t* seq0, const uint8_t* seq1,
+                          bool is_rev, const int32_t* matrix,
+                          EntryPool& pool, uint64_t* rng, HL& out) {
+  const Itl& target_fm = ctx.fm[is_rev ? 1 : 0];
+  Opt copt{opt.a, opt.b, opt.q, opt.r, opt.t, opt.bw, opt.z, opt.is_};
+  HL bb[2][2];
+  const uint8_t* seqs[2] = {seq0, seq1};
+  double tt = bsw_now();
+  for (int k = 0; k < 2; ++k) {
+    Bwtl bwtl;
+    bwtl.build(seqs[k], (int32_t)length);
+    std::vector<Hit> b, b1;
+    bsw2_core(copt, bwtl, target_fm, b, b1, pool);
+    hl_from_vec(b, bb[k][0]);
+    hl_from_vec(b1, bb[k][1]);
+  }
+  g_t_core += bsw_now() - tt;
+  bsw_chain_filter(opt, length, &bb[0][1], &bb[1][1]);
+  std::vector<uint8_t> rq_scratch, tgt_scratch;
+  HL* b[2];
+  tt = bsw_now();
+  for (int k = 0; k < 2; ++k) {
+    bsw_extend_left(ctx, opt, bb[k][1], seqs[k], length, is_rev, matrix,
+                    rq_scratch, tgt_scratch);
+    bsw_merge_hits(bb[k][0], bb[k][1], length, false);
+    resolve_duphits(nullptr, bb[k][0].hits, 0);
+    bsw_extend_rght(ctx, opt, bb[k][0], seqs[k], length, is_rev, matrix,
+                    tgt_scratch);
+    b[k] = &bb[k][0];
+  }
+  g_t_ext += bsw_now() - tt;
+  bsw_merge_hits(*b[0], *b[1], length, true);
+  bsw_resolve_query_overlaps(*b[0], opt.mask_level, rng);
+  out.hits.swap(b[0]->hits);
+  out.cigars.clear();
+  out.has_cig.clear();
+}
+
+// flag_fr (bwtsw2_aux.c:279-300)
+static void bsw_flag_fr(HL& b0, HL& b1) {
+  for (Hit& p : b0.hits) p.flag |= 0x10000;
+  for (Hit& p : b1.hits) p.flag |= 0x20000;
+  for (Hit& p : b0.hits)
+    for (Hit& q : b1.hits)
+      if (q.beg == p.beg && q.end == p.end && q.k == p.k &&
+          q.len == p.len && q.G == p.G) {
+        q.flag |= 0x30000;
+        p.flag |= 0x30000;
+        break;
+      }
+}
+
+// gen_cigar (bwtsw2_aux.c:167-216); cigars stored len<<4|op
+static void bsw_gen_cigar(const BswCtx& ctx, const BswOpt& opt, int64_t lq,
+                          const uint8_t* seq0, const uint8_t* seq1, HL& b,
+                          const int32_t* matrix) {
+  b.cigars.assign(b.hits.size(), {});
+  b.has_cig.assign(b.hits.size(), 0);
+  std::vector<uint8_t> target;
+  std::vector<uint32_t> cig_bwa;
+  for (size_t i = 0; i < b.hits.size(); ++i) {
+    Hit& p = b.hits[i];
+    if (p.l) continue;
+    int64_t beg = (p.flag & 0x10) ? lq - p.end : p.beg;
+    int64_t end = (p.flag & 0x10) ? lq - p.beg : p.end;
+    const uint8_t* query = ((p.flag & 0x10) ? seq1 : seq0) + beg;
+    int64_t n = p.len;
+    target.resize(n);
+    for (int64_t j = 0; j < n; ++j)
+      target[j] = pac_base(ctx.pac, p.k + j);
+    cig_bwa.resize(n + (end - beg) + 2);
+    int32_t score = 0;
+    int32_t nc = ibwa_global_aln(target.data(), (int32_t)n, query,
+                                 (int32_t)(end - beg), opt.q, opt.r, opt.r,
+                                 opt.bw, matrix, 5, cig_bwa.data(),
+                                 (int32_t)cig_bwa.size(), &score);
+    std::vector<uint32_t>& cigar = b.cigars[i];
+    cigar.clear();
+    for (int32_t j = 0; j < nc; ++j) {
+      uint32_t c = cig_bwa[j];
+      cigar.push_back(((c & 0x1FFFFFFF) << 4) | (c >> 29));
+    }
+    if (beg != 0 || end < lq) {
+      if (beg != 0)
+        cigar.insert(cigar.begin(), (uint32_t)(beg << 4 | 4));
+      if (end < lq) cigar.push_back((uint32_t)((lq - end) << 4 | 4));
+    }
+    b.has_cig[i] = 1;
+  }
+}
+
+// bns_seq_for_pos (bntseq.c:278-294)
+static int32_t bsw_seq_for_pos(const BswCtx& ctx, int64_t pac_coor) {
+  int32_t left = 0, mid = 0, right = ctx.n_seqs;
+  while (left < right) {
+    mid = (left + right) >> 1;
+    if (pac_coor >= ctx.ann_off[mid]) {
+      if (mid == ctx.n_seqs - 1) break;
+      if (pac_coor < ctx.ann_off[mid + 1]) break;
+      left = mid + 1;
+    } else {
+      right = mid;
+    }
+  }
+  return mid;
+}
+
+// bns_coor_pac2real (bntseq.c:296-318)
+static void bsw_coor_pac2real(const BswCtx& ctx, int64_t pac_coor,
+                              int64_t length, int64_t* nn_out,
+                              int32_t* seqid_out) {
+  int32_t seqid = bsw_seq_for_pos(ctx, pac_coor);
+  int64_t left = 0, right = ctx.n_holes, nn = 0;
+  while (left < right) {
+    int64_t mid = (left + right) >> 1;
+    int64_t ho = ctx.amb_off[mid], hl = ctx.amb_len[mid];
+    if (pac_coor >= ho + hl) {
+      left = mid + 1;
+    } else if (pac_coor + length <= ho) {
+      right = mid;
+    } else {
+      if (pac_coor >= ho)
+        nn += (ho + hl < pac_coor + length) ? ho + hl - pac_coor : length;
+      else
+        nn += (ho + hl < pac_coor + length) ? hl
+                                            : length - (ho - pac_coor);
+      break;
+    }
+  }
+  *nn_out = nn;
+  *seqid_out = seqid;
+}
+
+// fix_cigar (bwtsw2_aux.c:316-386)
+static std::vector<uint32_t> bsw_fix_cigar(const BswCtx& ctx, Hit& p,
+                                           const std::vector<uint32_t>&
+                                               cigar) {
+  int32_t seqid = bsw_seq_for_pos(ctx, p.k);
+  int64_t coor = p.k - ctx.ann_off[seqid];
+  int64_t refl = ctx.ann_len[seqid];
+  int64_t x = coor, y = 0;
+  for (uint32_t c : cigar) {
+    int op = c & 0xF;
+    int64_t ln = c >> 4;
+    if (op == 1 || op == 4 || op == 5)
+      y += ln;
+    else if (op == 2)
+      x += ln;
+    else {
+      x += ln;
+      y += ln;
+    }
+  }
+  int64_t lq = y;
+  if (x <= refl) return cigar;
+  size_t nc = 0;
+  int64_t mq[2] = {0, 0}, nlen[2] = {0, 0}, kk = 0;
+  std::vector<uint32_t> cn;
+  x = coor;
+  y = 0;
+  for (uint32_t c : cigar) {
+    int op = c & 0xF;
+    int64_t ln = c >> 4;
+    if (op == 4 || op == 5 || op == 1) {
+      y += ln;
+      cn.push_back(c);
+    } else if (op == 2) {
+      if (x + ln >= refl && nc == 0) {
+        cn.push_back((uint32_t)((lq - y) << 4 | 4));
+        nc = cn.size();
+        cn.push_back((uint32_t)(y << 4 | 4));
+        kk = p.k + (x + ln - refl);
+        nlen[0] = x - coor;
+        nlen[1] = p.len - nlen[0] - ln;
+      } else {
+        cn.push_back(c);
+      }
+      x += ln;
+    } else if (op == 0) {
+      if (x + ln >= refl && nc == 0) {
+        cn.push_back((uint32_t)((refl - x) << 4 | 0));
+        cn.push_back((uint32_t)((lq - y - (refl - x)) << 4 | 4));
+        nc = cn.size();
+        cn.push_back((uint32_t)((y + (refl - x)) << 4 | 4));
+        if (x + ln - refl)
+          cn.push_back((uint32_t)((x + ln - refl) << 4 | 0));
+        mq[1] += x + ln - refl;
+        kk = ctx.ann_off[seqid] + refl;
+        nlen[0] = refl - coor;
+        nlen[1] = p.len - nlen[0];
+        mq[0] += refl - x;
+      } else {
+        cn.push_back(c);
+        mq[nc ? 1 : 0] += ln;
+      }
+      x += ln;
+      y += ln;
+    }
+  }
+  if (mq[0] > mq[1]) {
+    p.len = nlen[0];
+    return std::vector<uint32_t>(cn.begin(), cn.begin() + nc);
+  }
+  p.k = kk;
+  p.len = nlen[1];
+  return std::vector<uint32_t>(cn.begin() + nc, cn.end());
+}
+
+inline void bsw_put_i64(std::string& out, int64_t v) {
+  char tmp[24];
+  int n = 0;
+  bool neg = v < 0;
+  uint64_t uv = neg ? (uint64_t)(-v) : (uint64_t)v;
+  if (!uv) tmp[n++] = '0';
+  while (uv) {
+    tmp[n++] = (char)('0' + uv % 10);
+    uv /= 10;
+  }
+  if (neg) out.push_back('-');
+  for (int i = n - 1; i >= 0; --i) out.push_back(tmp[i]);
+}
+
+inline char bsw_comp_char(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    case 'N': return 'N';
+    case 'a': return 't';
+    case 'c': return 'g';
+    case 'g': return 'c';
+    case 't': return 'a';
+    case 'n': return 'n';
+    default: return 'N';
+  }
+}
+
+// print_hits (bwtsw2_aux.c:390-455)
+static void bsw_print_hits(BswCtx& ctx, const BswOpt& opt,
+                           const char* name, int64_t name_len,
+                           const char* seq_str, int64_t L,
+                           const char* qual, int64_t qual_len, HL* b) {
+  std::string& out = ctx.buf;
+  if (b == nullptr || b->hits.empty()) {
+    out.append(name, name_len);
+    out.append("\t4\t*\t0\t0\t*\t*\t0\t0\t");
+    out.append(seq_str, L);
+    if (qual_len) {
+      out.push_back('\t');
+      out.append(qual, qual_len);
+    } else {
+      out.append("\t*");
+    }
+    out.push_back('\n');
+    return;
+  }
+  for (size_t i = 0; i < b->hits.size(); ++i) {
+    Hit& p = b->hits[i];
+    int32_t seqid = -1;
+    int64_t coor = -1, nn = 0;
+    if (p.l == 0) {
+      b->cigars[i] = bsw_fix_cigar(ctx, p, b->cigars[i]);
+      bsw_coor_pac2real(ctx, p.k, p.len, &nn, &seqid);
+      coor = p.k - ctx.ann_off[seqid];
+    }
+    const std::vector<uint32_t>& cigar = b->cigars[i];
+    out.append(name, name_len);
+    out.push_back('\t');
+    bsw_put_i64(out, p.flag & 0x10);
+    out.push_back('\t');
+    if (seqid >= 0)
+      out.append((const char*)ctx.name_blob + ctx.name_off[seqid],
+                 (size_t)(ctx.name_off[seqid + 1] - ctx.name_off[seqid]));
+    else
+      out.push_back('*');
+    out.push_back('\t');
+    bsw_put_i64(out, coor + 1);
+    if (p.l == 0) {
+      double c = 1.0;
+      int64_t subo = p.G2 > opt.t ? p.G2 : opt.t;
+      int fr = (int)(p.flag >> 16);
+      if (fr == 1 || fr == 2) c *= 0.5;
+      if (p.n_seeds < 2) c *= 0.2;
+      int64_t qv = (int64_t)(c * (double)(p.G - subo) *
+                                 (250.0 / (double)p.G + 0.03 / opt.a) +
+                             0.499);
+      if (qv > 250) qv = 250;
+      if (p.flag & 1) qv = 0;
+      out.push_back('\t');
+      bsw_put_i64(out, qv);
+      out.push_back('\t');
+      const char* ops = opt.hard_clip ? "MIDNHHP" : "MIDNSHP";
+      for (uint32_t c2 : cigar) {
+        bsw_put_i64(out, c2 >> 4);
+        out.push_back(ops[c2 & 0xF]);
+      }
+    } else {
+      out.append("\t0\t*");
+    }
+    out.append("\t*\t0\t0\t");
+    int64_t beg = 0, end = L;
+    if (opt.hard_clip && !cigar.empty()) {
+      if ((cigar.front() & 0xF) == 4) beg += cigar.front() >> 4;
+      if ((cigar.back() & 0xF) == 4) end -= cigar.back() >> 4;
+    }
+    if (p.flag & 0x10)
+      for (int64_t j = beg; j < end; ++j)
+        out.push_back(bsw_comp_char(seq_str[L - 1 - j]));
+    else
+      out.append(seq_str + beg, (size_t)(end - beg));
+    if (qual_len) {
+      out.push_back('\t');
+      if (p.flag & 0x10)
+        for (int64_t j = beg; j < end; ++j)
+          out.push_back(qual[L - 1 - j]);
+      else
+        out.append(qual + beg, (size_t)(end - beg));
+    } else {
+      out.append("\t*");
+    }
+    out.append("\tAS:i:");
+    bsw_put_i64(out, p.G);
+    out.append("\tXS:i:");
+    bsw_put_i64(out, p.G2);
+    out.append("\tXF:i:");
+    bsw_put_i64(out, p.flag >> 16);
+    out.append("\tXE:i:");
+    bsw_put_i64(out, p.n_seeds);
+    out.append("\tXN:i:");
+    bsw_put_i64(out, nn);
+    if (p.l) {
+      out.append("\tXI:i:");
+      bsw_put_i64(out, p.l - p.k + 1);
+    }
+    out.push_back('\n');
+  }
+}
+
+// nst_nt4_table (bntseq.c:39)
+static const uint8_t kNt4[256] = {
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 5,
+    4, 4, 0, 1, 2, 3, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 0, 4, 1, 4,
+    4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 0, 4, 1, 4, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 3,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4};
+
+// __gen_ap (bwtsw2_aux.c:70-77)
+static void bsw_gen_matrix(const BswOpt& opt, int32_t* m) {
+  for (int i = 0; i < 25; ++i) m[i] = -opt.b;
+  for (int i = 0; i < 4; ++i) m[i * 5 + i] = opt.a;
+}
+
+// floor division matching Python // for possibly-negative numerators
+inline int64_t bsw_floordiv(int64_t a, int64_t b) {
+  int64_t q = a / b, r = a % b;
+  return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
+
+// bsw2_aln_core body for one read (bwtsw2_aux.c:459-545 — the per-read
+// slice of the chunked pipeline; aux.py::bsw2_aln_one is the oracle)
+static void bsw_aln_one(BswCtx& ctx, const BswOpt& opt0, const char* name,
+                        int64_t name_len, const char* seq_str, int64_t l,
+                        const char* qual, int64_t qual_len, uint64_t* rng,
+                        EntryPool& pool) {
+  BswOpt opt = opt0;
+  if ((double)opt.t < std::log((double)l) * opt.coef)
+    opt.t = (int)(std::log((double)l) * opt.coef + 0.499);
+  int64_t k = bsw_floordiv(l * opt.a - 2 * opt.q, 2 * opt.r + opt.a);
+  int64_t i = bsw_floordiv(l * opt.a - opt.a - opt.t, opt.r);
+  if (k > i) k = i;
+  if (k < 1) k = 1;
+  opt.bw = (int)std::min((int64_t)opt0.bw, k);
+
+  std::vector<uint8_t> codes(l);
+  int64_t n_amb = 0;
+  for (int64_t j = 0; j < l; ++j) {
+    uint8_t c = kNt4[(uint8_t)seq_str[j]];
+    if (c >= 4) {
+      c = (uint8_t)(int)(bsw_drand48(rng) * 4);
+      ++n_amb;
+    }
+    codes[j] = c;
+  }
+  if (l - n_amb < opt.t) {
+    bsw_print_hits(ctx, opt, name, name_len, seq_str, l, qual, qual_len,
+                   nullptr);
+    return;
+  }
+  // seq[0] = codes, seq[1] = revcomp; rseq[0] = reversed, rseq[1] = comp
+  std::vector<uint8_t> seq1(l), rseq0(l), rseq1(l);
+  for (int64_t j = 0; j < l; ++j) {
+    seq1[j] = (uint8_t)(3 - codes[l - 1 - j]);
+    rseq0[j] = codes[l - 1 - j];
+    rseq1[j] = (uint8_t)(3 - codes[j]);
+  }
+  int32_t matrix[25];
+  bsw_gen_matrix(opt, matrix);
+  HL b0;
+  bsw_aln1_core(ctx, opt, l, codes.data(), seq1.data(), false, matrix,
+                pool, rng, b0);
+  bool need_rev = false;
+  for (const Hit& h : b0.hits)
+    if (h.n_seeds < opt.t_seeds) {
+      need_rev = true;
+      break;
+    }
+  if (need_rev) {
+    HL b1;
+    bsw_aln1_core(ctx, opt, l, rseq0.data(), rseq1.data(), true, matrix,
+                  pool, rng, b1);
+    for (Hit& p : b1.hits) {
+      int64_t x = p.beg;
+      p.beg = l - p.end;
+      p.end = l - x;
+      if (p.l == 0) p.k = ctx.l_pac - (p.k + p.len);
+    }
+    bsw_flag_fr(b0, b1);
+    bsw_merge_hits(b0, b1, l, false);
+    resolve_duphits(nullptr, b0.hits, 0);
+    bsw_resolve_query_overlaps(b0, opt.mask_level, rng);
+  }
+  double tt = bsw_now();
+  bsw_gen_cigar(ctx, opt, l, codes.data(), seq1.data(), b0, matrix);
+  g_t_cig += bsw_now() - tt;
+  bsw_print_hits(ctx, opt, name, name_len, seq_str, l, qual, qual_len,
+                 &b0);
 }
 
 }  // namespace
@@ -701,6 +1539,77 @@ int32_t ibwa_bsw2_core(
   *n_b = (int32_t)b.size();
   *n_b1 = (int32_t)b1.size();
   return 0;
+}
+
+// Full per-read bwasw driver context (bsw2_aln minus read IO).  All
+// arrays stay owned by the caller for the context lifetime.
+void* ibwa_bsw2_new_ctx(
+    const uint32_t* itl_f, uint32_t primary_f, const uint32_t* itl_r,
+    uint32_t primary_r, const uint32_t* l2, uint32_t seq_len,
+    uint32_t sa_intv, const uint32_t* sa_f, const uint32_t* sa_r,
+    const uint8_t* pac_packed, int64_t l_pac, int32_t n_seqs,
+    const int64_t* ann_off, const int64_t* ann_len,
+    const uint8_t* name_blob, const int64_t* name_off, int64_t n_holes,
+    const int64_t* amb_off, const int64_t* amb_len) {
+  BswCtx* ctx = new BswCtx();
+  ctx->fm[0] = Itl{itl_f, primary_f, {l2[0], l2[1], l2[2], l2[3], l2[4]},
+                   seq_len, sa_intv, sa_f};
+  ctx->fm[1] = Itl{itl_r, primary_r, {l2[0], l2[1], l2[2], l2[3], l2[4]},
+                   seq_len, sa_intv, sa_r};
+  ctx->pac = pac_packed;
+  ctx->l_pac = l_pac;
+  ctx->n_seqs = n_seqs;
+  ctx->ann_off = ann_off;
+  ctx->ann_len = ann_len;
+  ctx->name_blob = name_blob;
+  ctx->name_off = name_off;
+  ctx->n_holes = n_holes;
+  ctx->amb_off = amb_off;
+  ctx->amb_len = amb_len;
+  return ctx;
+}
+
+void ibwa_bsw2_free_ctx(void* pctx) { delete (BswCtx*)pctx; }
+
+// Aligns a batch of reads; seq/qual/name are raw ASCII blobs with
+// int64[n+1] offsets (qual span 0 => no quality string).  rng_state is
+// the 48-bit drand48 state, advanced in read order.  Returns the SAM
+// text length (fetch via ibwa_bsw2_text) or -1 on error.
+int64_t ibwa_bsw2_run(void* pctx, int32_t n_reads, const uint8_t* seq_blob,
+                      const int64_t* seq_off, const uint8_t* qual_blob,
+                      const int64_t* qual_off, const uint8_t* name_blob,
+                      const int64_t* name_off, uint64_t* rng_state,
+                      int32_t a, int32_t b, int32_t q, int32_t r,
+                      int32_t t, int32_t bw, int32_t z, int32_t is_,
+                      int32_t t_seeds, int32_t hard_clip,
+                      double mask_level, double coef) {
+  BswCtx* ctx = (BswCtx*)pctx;
+  BswOpt opt{a, b, q, r, t, bw, z, is_, t_seeds, hard_clip, mask_level,
+             coef};
+  ctx->buf.clear();
+  uint64_t rng = *rng_state;
+  static thread_local EntryPool pool;
+  double t_all = bsw_now();
+  for (int32_t i = 0; i < n_reads; ++i) {
+    bsw_aln_one(*ctx, opt, (const char*)name_blob + name_off[i],
+                name_off[i + 1] - name_off[i],
+                (const char*)seq_blob + seq_off[i],
+                seq_off[i + 1] - seq_off[i],
+                (const char*)qual_blob + qual_off[i],
+                qual_off[i + 1] - qual_off[i], &rng, pool);
+  }
+  g_t_other += bsw_now() - t_all;
+  *rng_state = rng;
+  if (getenv("IBWA_BSW2_TIME")) {
+    fprintf(stderr, "[bsw2] core %.2fs ext %.2fs cigar %.2fs all %.2fs\n",
+            g_t_core, g_t_ext, g_t_cig, g_t_other);
+    g_t_core = g_t_ext = g_t_cig = g_t_other = 0;
+  }
+  return (int64_t)ctx->buf.size();
+}
+
+const char* ibwa_bsw2_text(void* pctx) {
+  return ((BswCtx*)pctx)->buf.data();
 }
 
 }  // extern "C"

@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -183,6 +184,32 @@ static inline uint32_t count_code_prefix(uint32_t word, int code, int nbases) {
   return (uint32_t)__builtin_popcount(t);
 }
 
+// per-byte packed counts of all four channels (8 bits each) — the
+// reference's bwt_gen_cnt_table / __occ_aux4 device (bwt.c:36-45,
+// 153-155): one lookup counts 4 bases across all channels at once
+static uint32_t kOccTbl[256];
+static const bool kOccTblInit = [] {
+  for (int b = 0; b < 256; ++b) {
+    uint32_t x = 0;
+    for (int j = 0; j < 4; ++j) x += 1u << (((b >> (2 * j)) & 3) * 8);
+    kOccTbl[b] = x;
+  }
+  return true;
+}();
+
+static inline uint32_t occ_packed4(uint32_t w) {
+  return kOccTbl[w & 0xff] + kOccTbl[(w >> 8) & 0xff] +
+         kOccTbl[(w >> 16) & 0xff] + kOccTbl[w >> 24];
+}
+
+// packed counts of the first nb (1..16) bases of a word; the channel-0
+// overcount from the masked-off tail is subtracted exactly as the
+// reference does (bwt.c:188, "- (~k&15)")
+static inline uint32_t occ_packed4_prefix(uint32_t w, uint32_t nb) {
+  if (nb < 16) w &= ~((1u << ((16 - nb) * 2)) - 1u);
+  return occ_packed4(w) - (16 - nb);
+}
+
 struct InterleavedBwt {
   const uint32_t* data;
   uint32_t primary;
@@ -196,13 +223,37 @@ static uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
   if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
   if (k >= b.primary) --k;  // the sentinel is not stored
   const uint32_t* blk = b.data + (k / 128) * 12;
-  uint32_t n = blk[c];
   const uint32_t* w = blk + 4;
-  uint32_t base0 = (k / 128) * 128;
-  uint32_t full_words = (k - base0) / 16;  // words fully below k's word
-  for (uint32_t j = 0; j < full_words; ++j) n += count_code_prefix(w[j], c, 16);
-  n += count_code_prefix(w[full_words], c, (int)(k % 16) + 1);
-  return n;
+  uint32_t full_words = (k % 128) / 16;  // words fully below k's word
+  uint32_t x = 0;
+  for (uint32_t j = 0; j < full_words; ++j) x += occ_packed4(w[j]);
+  x += occ_packed4_prefix(w[full_words], (k % 16) + 1);
+  return blk[c] + ((x >> (8 * c)) & 0xff);
+}
+
+// paired occ1 at (k, l) sharing the block scan when both land in one
+// 128-base block — the reference's bwt_2occ (bwt.c:116-137)
+static inline void occ1_pair(const InterleavedBwt& b, uint32_t k, uint32_t l,
+                             int c, uint32_t* ok, uint32_t* ol) {
+  uint32_t k2 = k, l2 = l;
+  if (k2 != 0xFFFFFFFFu && k2 != b.seq_len && k2 >= b.primary) --k2;
+  if (l2 != 0xFFFFFFFFu && l2 != b.seq_len && l2 >= b.primary) --l2;
+  if (k == 0xFFFFFFFFu || k == b.seq_len || l == 0xFFFFFFFFu ||
+      l == b.seq_len || (k2 >> 7) != (l2 >> 7)) {
+    *ok = occ1(b, k, c);
+    *ol = occ1(b, l, c);
+    return;
+  }
+  const uint32_t* blk = b.data + (k2 / 128) * 12;
+  const uint32_t* w = blk + 4;
+  uint32_t fw_k = (k2 % 128) / 16, fw_l = (l2 % 128) / 16;
+  uint32_t x = 0, j = 0;
+  for (; j < fw_k; ++j) x += occ_packed4(w[j]);
+  uint32_t xk = x + occ_packed4_prefix(w[fw_k], (k2 % 16) + 1);
+  for (; j < fw_l; ++j) x += occ_packed4(w[j]);
+  uint32_t xl = x + occ_packed4_prefix(w[fw_l], (l2 % 16) + 1);
+  *ok = blk[c] + ((xk >> (8 * c)) & 0xff);
+  *ol = blk[c] + ((xl >> (8 * c)) & 0xff);
 }
 
 static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
@@ -428,7 +479,18 @@ int32_t ibwa_global_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
   std::vector<DpScore> rowA(len1 + 1), rowB(len1 + 1);
   DpScore* curr = rowA.data();
   DpScore* last = rowB.data();
-  std::vector<DpCell> cells((size_t)(len2 + 1) * (len1 + 1));
+  // traceback matrix: grow-only uninitialized scratch — only band cells
+  // are ever written or read back, so the value-initializing vector here
+  // was pure memset cost (the reference's dpcell rows are plain malloc,
+  // stdaln.c:361-366)
+  static thread_local std::unique_ptr<DpCell[]> cells_buf;
+  static thread_local size_t cells_cap = 0;
+  size_t need = (size_t)(len2 + 1) * (len1 + 1);
+  if (need > cells_cap) {
+    cells_cap = need + need / 2;
+    cells_buf.reset(new DpCell[cells_cap]);
+  }
+  DpCell* cells = cells_buf.get();
   auto cell = [&](int32_t j, int32_t i) -> DpCell& {
     return cells[(size_t)j * (len1 + 1) + i];
   };
@@ -945,11 +1007,36 @@ static inline void occ4_at(const InterleavedBwt& b, uint32_t k,
   const uint32_t* blk = b.data + (k / 128) * 12;
   const uint32_t* w = blk + 4;
   uint32_t full = (k % 128) / 16;
+  uint32_t x = 0;
+  for (uint32_t j = 0; j < full; ++j) x += occ_packed4(w[j]);
+  x += occ_packed4_prefix(w[full], (k % 16) + 1);
+  for (int c = 0; c < 4; ++c) cnt[c] = blk[c] + ((x >> (8 * c)) & 0xff);
+}
+
+// paired occ4 at (k, l) sharing one block scan when co-resident — the
+// reference's bwt_2occ4 (bwt.c:177-214)
+static inline void occ2x4_at(const InterleavedBwt& b, uint32_t k, uint32_t l,
+                             uint32_t cnt_k[4], uint32_t cnt_l[4]) {
+  uint32_t k2 = k, l2 = l;
+  if (k2 != 0xFFFFFFFFu && k2 != b.seq_len && k2 >= b.primary) --k2;
+  if (l2 != 0xFFFFFFFFu && l2 != b.seq_len && l2 >= b.primary) --l2;
+  if (k == 0xFFFFFFFFu || k == b.seq_len || l == 0xFFFFFFFFu ||
+      l == b.seq_len || (k2 >> 7) != (l2 >> 7)) {
+    occ4_at(b, k, cnt_k);
+    occ4_at(b, l, cnt_l);
+    return;
+  }
+  const uint32_t* blk = b.data + (k2 / 128) * 12;
+  const uint32_t* w = blk + 4;
+  uint32_t fw_k = (k2 % 128) / 16, fw_l = (l2 % 128) / 16;
+  uint32_t x = 0, j = 0;
+  for (; j < fw_k; ++j) x += occ_packed4(w[j]);
+  uint32_t xk = x + occ_packed4_prefix(w[fw_k], (k2 % 16) + 1);
+  for (; j < fw_l; ++j) x += occ_packed4(w[j]);
+  uint32_t xl = x + occ_packed4_prefix(w[fw_l], (l2 % 16) + 1);
   for (int c = 0; c < 4; ++c) {
-    uint32_t n = blk[c];
-    for (uint32_t j = 0; j < full; ++j) n += count_code_prefix(w[j], c, 16);
-    n += count_code_prefix(w[full], c, (int)(k % 16) + 1);
-    cnt[c] = n;
+    cnt_k[c] = blk[c] + ((xk >> (8 * c)) & 0xff);
+    cnt_l[c] = blk[c] + ((xl >> (8 * c)) & 0xff);
   }
 }
 
@@ -960,8 +1047,8 @@ static void cal_width_c(const InterleavedBwt& b, const uint8_t* s, int n,
   for (int i = 0; i < n; ++i) {
     int c = s[i];
     if (c < 4) {
-      uint32_t ok = occ1(b, k == 0 ? 0xFFFFFFFFu : k - 1, c);
-      uint32_t ol = occ1(b, l, c);
+      uint32_t ok, ol;
+      occ1_pair(b, k == 0 ? 0xFFFFFFFFu : k - 1, l, c, &ok, &ol);
       k = b.l2[c] + ok + 1;
       l = b.l2[c] + ol;
     }
@@ -1097,8 +1184,8 @@ int32_t ibwa_match_gap(const uint32_t* itl_fwd, uint32_t primary_fwd,
       for (int t = i - 1; t >= 0; --t) {
         int c = s[t];
         if (c > 3) { ok = false; break; }
-        uint32_t okk = occ1(fm, k == 0 ? 0xFFFFFFFFu : k - 1, c);
-        uint32_t oll = occ1(fm, l, c);
+        uint32_t okk, oll;
+        occ1_pair(fm, k == 0 ? 0xFFFFFFFFu : k - 1, l, c, &okk, &oll);
         k = fm.l2[c] + okk + 1;
         l = fm.l2[c] + oll;
         if (k > l) { ok = false; break; }
@@ -1146,8 +1233,7 @@ int32_t ibwa_match_gap(const uint32_t* itl_fwd, uint32_t primary_fwd,
 
     --i;
     uint32_t cnt_k[4], cnt_l[4];
-    occ4_at(fm, k == 0 ? 0xFFFFFFFFu : k - 1, cnt_k);
-    occ4_at(fm, l, cnt_l);
+    occ2x4_at(fm, k == 0 ? 0xFFFFFFFFu : k - 1, l, cnt_k, cnt_l);
     int64_t occv = (int64_t)(l - k) + 1;
 
     bool allow_diff = true, allow_m = true;

@@ -20,6 +20,8 @@
 //   remap walks              bwaremap.cpp:140-311
 //   bwa_approx_mapQ          bwase.c:111-120
 
+#include <time.h>
+
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -137,7 +139,7 @@ struct PeDb {
   const uint8_t* rm_ops;
   const int32_t* rm_lens;
   // emit-time aux (registered via ibwa_pe_set_emit_db; null until then)
-  const uint8_t* pac = nullptr;       // unpacked 2-bit codes, l_pac entries
+  const uint8_t* pac = nullptr;       // PACKED 2-bit codes (.pac bytes)
   int64_t n_holes = 0;                // .amb N-hole list (bns_coor_pac2real)
   const int64_t* amb_off = nullptr;
   const int32_t* amb_len = nullptr;
@@ -975,7 +977,8 @@ static int coord2idx_g(const PeCtx& ctx, int64_t pos) {
   return idx;
 }
 
-// dbset_extract_sequence (dbset.c:306-325): cross-db, truncated at l_pac
+// dbset_extract_sequence (dbset.c:306-325): cross-db, truncated at l_pac.
+// pac is the packed .pac byte image: base p = (pac[p>>2] >> ((~p&3)<<1)) & 3
 static int64_t extract_sequence(const PeCtx& ctx, int64_t beg, int64_t length,
                                 std::vector<uint8_t>* out) {
   out->resize(length);
@@ -985,7 +988,11 @@ static int64_t extract_sequence(const PeCtx& ctx, int64_t beg, int64_t length,
     const PeDb& db = ctx.dbs[coord2idx_g(ctx, beg)];
     int64_t pos = beg - db.offset;
     int64_t take = std::min(length - total, db.l_pac - pos);
-    std::memcpy(out->data() + total, db.pac + pos, (size_t)take);
+    uint8_t* dst = out->data() + total;
+    for (int64_t i = 0; i < take; ++i) {
+      int64_t p = pos + i;
+      dst[i] = (db.pac[p >> 2] >> ((~p & 3) << 1)) & 3;
+    }
     total += take;
     beg += take;
   }
@@ -1425,9 +1432,16 @@ struct EmitReadView {
 };
 
 // bwa_cal_md1 via the shared walk; one extraction for the whole span
+static double g_md_extract_s = 0, g_md_walk_s = 0;
+static double md_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
 static void emit_cal_md(const PeCtx& ctx, EmitSeq& es, int64_t rpos,
                         const uint8_t* sseq, int64_t length,
                         EmitScratch& sc) {
+  double md_t0 = md_now();
   int64_t need = 0;
   const uint32_t* cig = nullptr;
   int32_t ncig = 0;
@@ -1444,6 +1458,8 @@ static void emit_cal_md(const PeCtx& ctx, EmitSeq& es, int64_t rpos,
     extract_sequence(ctx, rpos, span, &sc.md_ref);
   else
     sc.md_ref.clear();
+  double md_t1 = md_now();
+  g_md_extract_s += md_t1 - md_t0;
   int64_t cap = 16 + 2 * need + 12 * (ncig + 1) + length;
   if ((int64_t)sc.md_buf.size() < cap) sc.md_buf.resize(cap);
   int32_t nm = 0;
@@ -1457,6 +1473,7 @@ static void emit_cal_md(const PeCtx& ctx, EmitSeq& es, int64_t rpos,
   es.md.assign(sc.md_buf.data(), (size_t)n);
   es.has_md = true;
   es.nm = nm;
+  g_md_walk_s += md_now() - md_t1;
 }
 
 // bwa_correct_trimmed (bwase.c:297-331)
@@ -2086,7 +2103,7 @@ void ibwa_se_stage(void* pctx, int64_t n_reads, int32_t n_occ,
   *rng_state = rng.x;
 }
 
-// Emit-time per-db data: unpacked pac codes, .amb hole list, contig names
+// Emit-time per-db data: packed pac bytes, .amb hole list, contig names
 // (concatenated, name_off has n_seqs+1 entries) and per-remap-record gap
 // opens.  Must be called once per db before ibwa_pe_emit.
 void ibwa_pe_set_emit_db(void* pctx, int32_t dbidx, const uint8_t* pac,
@@ -2117,7 +2134,6 @@ void ibwa_pe_set_emit_db(void* pctx, int32_t dbidx, const uint8_t* pac,
 // (fetch via ibwa_pe_emit_buf) or -1 on error.
 int64_t ibwa_pe_emit(
     void* pctx, int32_t is_pe, int32_t se_mode, int64_t n_units,
-    const uint8_t* seq_blob, const uint8_t* rseq_blob, const int64_t* seq_off,
     const uint8_t* orig_blob, const int64_t* orig_off,
     const uint8_t* qual_blob, const int64_t* qual_off,
     const uint8_t* name_blob, const int64_t* name_off, const uint8_t* bc_blob,
@@ -2135,10 +2151,30 @@ int64_t ibwa_pe_emit(
   std::vector<EmitSeq> ess(n_er);
   std::vector<EmitReadView> rvs(n_er);
   std::vector<Seq> sqs(n_er);
+  // seq (reversed clipped) + rseq (revcomp clipped) arenas derived from
+  // the forward codes — the Python side ships only the parsed fastq blob
+  int64_t clip_tot = 0;
+  for (int64_t e = 0; e < n_er; ++e) clip_tot += clip_len[e];
+  std::vector<uint8_t> seq_arena((size_t)clip_tot);
+  std::vector<uint8_t> rseq_arena((size_t)clip_tot);
+  std::vector<int64_t> seq_off((size_t)n_er + 1);
+  seq_off[0] = 0;
+  for (int64_t e = 0; e < n_er; ++e) {
+    seq_off[e + 1] = seq_off[e] + clip_len[e];
+    const uint8_t* o = orig_blob + orig_off[e];
+    uint8_t* sd = seq_arena.data() + seq_off[e];
+    uint8_t* rd = rseq_arena.data() + seq_off[e];
+    int32_t cl = clip_len[e];
+    for (int32_t j = 0; j < cl; ++j) {
+      uint8_t c = o[cl - 1 - j];
+      sd[j] = c;
+      rd[j] = c < 4 ? (uint8_t)(3 - c) : c;
+    }
+  }
   for (int64_t e = 0; e < n_er; ++e) {
     EmitReadView& rv = rvs[e];
-    rv.seq = seq_blob + seq_off[e];
-    rv.rseq = rseq_blob + seq_off[e];
+    rv.seq = seq_arena.data() + seq_off[e];
+    rv.rseq = rseq_arena.data() + seq_off[e];
     rv.orig = orig_blob + orig_off[e];
     rv.qual = (qual_off[e + 1] - qual_off[e] == full_len[e])
                   ? qual_blob + qual_off[e]
@@ -2188,6 +2224,14 @@ int64_t ibwa_pe_emit(
   }
 
   // refine + MD + trimming correction, end-major like the Python driver
+  static const bool kTime = getenv("IBWA_EMIT_TIME") != nullptr;
+  auto now = [] {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+  };
+  double t0 = kTime ? now() : 0.0, t_sa = 0, t_ref = 0, t_md = 0, t_pr = 0;
+  if (kTime) { t_sa = now(); }
   EmitScratch sc;
   int ends = is_pe ? 2 : 1;
   for (int j = 0; j < ends; ++j) {
@@ -2195,6 +2239,7 @@ int64_t ibwa_pe_emit(
       int64_t e = is_pe ? u * 2 + j : u;
       refine_one(*ctx, sqs[e], ess[e], rvs[e], sc);
     }
+    if (kTime) { t_ref = now(); }
     for (int64_t u = 0; u < n_units; ++u) {  // MD pass (bwase.c:390-405)
       int64_t e = is_pe ? u * 2 + j : u;
       Seq& s = sqs[e];
@@ -2243,6 +2288,7 @@ int64_t ibwa_pe_emit(
     }
   }
 
+  if (kTime) { t_md = now(); }
   std::string& out = ctx->emit_buf;
   out.clear();
   out.reserve((size_t)n_er * 256);
@@ -2275,6 +2321,15 @@ int64_t ibwa_pe_emit(
   } else {
     for (int64_t e = 0; e < n_er; ++e)
       print_sam1(*ctx, eo, &sqs[e], &ess[e], rvs[e], nullptr, nullptr, o);
+  }
+  if (kTime) {
+    t_pr = now();
+    fprintf(stderr,
+            "[emit] refine %.1fms md+trim %.1fms (extract %.1f walk %.1f) "
+            "print %.1fms\n",
+            1e3 * (t_ref - t0), 1e3 * (t_md - t_ref), 1e3 * g_md_extract_s,
+            1e3 * g_md_walk_s, 1e3 * (t_pr - t_md));
+    g_md_extract_s = g_md_walk_s = 0;
   }
   return (int64_t)out.size();
 }

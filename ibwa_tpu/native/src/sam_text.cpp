@@ -29,11 +29,22 @@ int64_t ibwa_cal_md(const uint32_t* cigar, int32_t ncig, const uint8_t* ref,
   int64_t x = pos, y = 0, u = 0;
   int64_t w = 0;
   auto put_num = [&](int64_t v) -> bool {
+    // manual itoa: the SE-mode MD quirk (computed vs remapped_pos == 0,
+    // bwase.c:258) makes nearly every base a "mismatch", so this runs
+    // ~read_len times per read — snprintf here was 5 us/read
     char tmp[24];
-    int n = snprintf(tmp, sizeof(tmp), "%lld", (long long)v);
+    int n = 0;
+    if (v == 0) {
+      tmp[n++] = '0';
+    } else {
+      uint64_t uv = (uint64_t)v;
+      while (uv) {
+        tmp[n++] = (char)('0' + uv % 10);
+        uv /= 10;
+      }
+    }
     if (w + n + 1 > cap) return false;
-    std::memcpy(out + w, tmp, n);
-    w += n;
+    for (int i = n - 1; i >= 0; --i) out[w++] = tmp[i];
     return true;
   };
   auto span_m = [&](int64_t start_x, int64_t len) -> bool {
@@ -101,6 +112,80 @@ int64_t ibwa_cal_md(const uint32_t* cigar, int32_t ncig, const uint8_t* ref,
   out[w] = 0;
   *out_nm = (int32_t)nm;
   return w;
+}
+
+// Plain-FASTQ -> flat blobs (io/reads.py::load_read_batch semantics,
+// which mirrors the reference's kseq+bwa_read_seq fast path for
+// untrimmed/unbarcoded input, bwaseqio.c:145-205).  Record layout is
+// strict 4-line; a trailing newline-less last line is accepted.
+//
+// Pass 1 (blobs == null): returns n_reads and writes totals[0..2] =
+// {seq_bytes, qual_bytes, name_bytes}; -1 if the file is not 4-line
+// FASTQ.  Pass 2 fills seq codes (nt4), qual bytes, processed names
+// (@ stripped, first whitespace token, /1 //2 suffix stripped) plus
+// their int64 offset arrays (length n+1, caller-zeroed first slot).
+int64_t ibwa_fastq_scan(const uint8_t* data, int64_t size,
+                        int64_t* totals, uint8_t* seq_blob,
+                        int64_t* seq_off, uint8_t* qual_blob,
+                        int64_t* qual_off, uint8_t* name_blob,
+                        int64_t* name_off) {
+  static uint8_t nt4[256];
+  static bool init = false;
+  if (!init) {
+    memset(nt4, 4, sizeof(nt4));
+    nt4['A'] = nt4['a'] = 0;
+    nt4['C'] = nt4['c'] = 1;
+    nt4['G'] = nt4['g'] = 2;
+    nt4['T'] = nt4['t'] = 3;
+    init = true;
+  }
+  auto is_space = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+           c == '\v';
+  };
+  if (size > 0 && data[size - 1] == '\n') --size;  // split+pop semantics
+  int64_t n = 0, seq_t = 0, qual_t = 0, name_t = 0;
+  int64_t i = 0;
+  while (i < size) {
+    // one record = 4 newline-terminated lines
+    int64_t ls[4], le[4];
+    for (int k = 0; k < 4; ++k) {
+      if (i > size) return -1;
+      ls[k] = i;
+      const void* nl = memchr(data + i, '\n', (size_t)(size - i));
+      le[k] = nl ? (const uint8_t*)nl - data : size;
+      i = le[k] + 1;
+    }
+    // processed name: skip '@', leading whitespace, first token
+    int64_t p = ls[0] + 1;
+    while (p < le[0] && is_space(data[p])) ++p;
+    int64_t q = p;
+    while (q < le[0] && !is_space(data[q])) ++q;
+    int64_t nl2 = q - p;
+    if (nl2 > 2 && data[q - 2] == '/' &&
+        (data[q - 1] == '1' || data[q - 1] == '2'))
+      nl2 -= 2;
+    int64_t sl = le[1] - ls[1], ql = le[3] - ls[3];
+    if (seq_blob) {
+      for (int64_t j = 0; j < sl; ++j)
+        seq_blob[seq_t + j] = nt4[data[ls[1] + j]];
+      memcpy(qual_blob + qual_t, data + ls[3], (size_t)ql);
+      memcpy(name_blob + name_t, data + p, (size_t)nl2);
+      seq_off[n + 1] = seq_t + sl;
+      qual_off[n + 1] = qual_t + ql;
+      name_off[n + 1] = name_t + nl2;
+    }
+    seq_t += sl;
+    qual_t += ql;
+    name_t += nl2;
+    n += 1;
+  }
+  if (totals) {
+    totals[0] = seq_t;
+    totals[1] = qual_t;
+    totals[2] = name_t;
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -692,12 +692,9 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
         rng = Rand48(dbs.dbs[0].bns.seed)
         out.write(dbs.sam_SQ(rg_line))
         print_sam_PG(out)
-        reads = load_reads(fq_path, trim_qual=opt.trim_qual,
-                           is_comp=not color,
-                           is_64=bool(opt.mode & 0x200),
-                           l_bc=opt.mode >> 24)
         import os
         nat = None
+        rb = None
         if not os.environ.get("IBWA_PURE_PY") and not color:
             import dataclasses as _dc
             from .pe_native import PeNative, scan_sai_batch
@@ -709,23 +706,38 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
             nat = PeNative(dbs, _Popt(), opt)
             blob = fp.read()
             cursor = 0
-        for start in range(0, len(reads), BATCH):
-            batch = reads[start:start + BATCH]
+            if opt.trim_qual < 1 and not (opt.mode & 0x200) \
+                    and not (opt.mode >> 24):
+                from ..io.reads import load_read_batch
+                rb = load_read_batch(fq_path)
+        if rb is None:
+            reads = load_reads(fq_path, trim_qual=opt.trim_qual,
+                               is_comp=not color,
+                               is_64=bool(opt.mode & 0x200),
+                               l_bc=opt.mode >> 24)
+            n_reads = len(reads)
+        else:
+            n_reads = rb.n
+        for start in range(0, n_reads, BATCH):
+            n = min(BATCH, n_reads - start)
             if nat is not None:
                 # fully native batch: selection -> SA resolution -> refine
                 # -> MD -> print, one call chain with no per-read Python
                 from .pe_native import scan_sai_batch
-                counts, recs, used = scan_sai_batch(blob[cursor:],
-                                                    len(batch))
+                counts, recs, used = scan_sai_batch(blob[cursor:], n)
                 cursor += used
-                n = len(batch)
                 nat.set_sai_batch(0, 0, counts, recs, n)
                 i64, i32, mc, mpos, mmeta, cap = nat.se_select_arrays(
                     n, n_occ, rng)
-                lens = np.array([r.clip_len for r in batch],
-                                dtype=np.int32)
-                fulls = np.array([r.full_len for r in batch],
-                                 dtype=np.int32)
+                if rb is not None:
+                    lens = rb.lens[start:start + n]
+                    fulls = rb.fulls[start:start + n]
+                else:
+                    batch = reads[start:start + n]
+                    lens = np.array([r.clip_len for r in batch],
+                                    dtype=np.int32)
+                    fulls = np.array([r.full_len for r in batch],
+                                     dtype=np.int32)
                 if opt.fnr > 0.0:
                     md_by_len = {int(v): cal_maxdiff(int(v), BWA_AVG_ERR,
                                                      opt.fnr)
@@ -734,12 +746,28 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
                                      dtype=np.int32)
                 else:
                     mdiff = np.full(n, opt.max_diff, dtype=np.int32)
-                text = nat.emit(batch, lens, fulls, mdiff, i64, i32,
-                                mc, mpos, mmeta, cap, None, opt.mode,
-                                opt.max_top2, rg_id, is_pe=False,
-                                se_mode=True)
+                if rb is not None:
+                    sl = slice(start, start + n + 1)
+                    text = nat.emit_blobs(
+                        n, rb.orig_blob[int(rb.orig_off[start]):],
+                        rb.orig_off[sl] - rb.orig_off[start],
+                        rb.qual_blob[int(rb.qual_off[start]):],
+                        rb.qual_off[sl] - rb.qual_off[start],
+                        rb.name_blob[int(rb.name_off[start]):],
+                        rb.name_off[sl] - rb.name_off[start],
+                        np.zeros(1, np.uint8),
+                        np.zeros(n + 1, np.int64),
+                        lens, fulls, mdiff, i64, i32, mc, mpos, mmeta,
+                        cap, None, opt.mode, opt.max_top2, rg_id,
+                        is_pe=False, se_mode=True)
+                else:
+                    text = nat.emit(batch, lens, fulls, mdiff, i64, i32,
+                                    mc, mpos, mmeta, cap, None, opt.mode,
+                                    opt.max_top2, rg_id, is_pe=False,
+                                    se_mode=True)
                 out.write(text.decode("latin-1"))
             else:
+                batch = reads[start:start + n]
                 seqs = []
                 for r in batch:
                     s = AlnSeq(read=r)
@@ -751,5 +779,5 @@ def sai2sam_se(prefix: str, sai_path: str, fq_path: str, n_occ: int = 3,
                 for s in seqs:
                     print_sam1(dbs, s, None, opt.mode, opt.max_top2, out,
                                rg_id)
-            print(f"[samse] {start + len(batch)} sequences processed",
+            print(f"[samse] {start + n} sequences processed",
                   file=sys.stderr)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import os
 
 import numpy as np
 
@@ -49,6 +50,16 @@ class BwtDb:
         if self.pac is None:
             self.pac = formats.read_pac(self.prefix + ".pac")
         return self.pac
+
+    def load_pac_packed(self) -> np.ndarray:
+        """Raw packed .pac bytes (4 bases/byte) — the native emit path
+        extracts codes itself; skips the numpy unpack of the whole
+        genome."""
+        path = self.prefix + ".pac"
+        size = os.path.getsize(path)
+        raw = np.memmap(path, dtype=np.uint8, mode="r", shape=(size,))
+        l_pac = (size - 2) * 4 + int(raw[-1])
+        return raw[:(l_pac + 3) // 4]
 
     def sa2seq(self, strand: int, sa: np.ndarray, seq_len) -> np.ndarray:
         """Batched bwtdb_sa2seq (dbset.c:239-246): SA index -> global pos.

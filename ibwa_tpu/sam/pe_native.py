@@ -64,7 +64,6 @@ def _lib():
         u8p, i64p, i32p]
     lib.ibwa_pe_emit.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
-        u8p, u8p, i64p,          # seq, rseq, seq_off
         u8p, i64p,               # orig, orig_off
         u8p, i64p,               # qual, qual_off
         u8p, i64p,               # name, name_off
@@ -243,7 +242,7 @@ class PeNative:
         if getattr(self, "_emit_ready", False):
             return
         for i, db in enumerate(self._dbs.dbs):
-            pac = db.load_pac()
+            pac = db.load_pac_packed()
             if not pac.flags.c_contiguous:
                 pac = np.ascontiguousarray(pac)
             bns = db.bns
@@ -275,17 +274,9 @@ class PeNative:
              multi_cnt, multi_pos, multi_meta, multi_cap: int,
              in_cigs: dict | None, mode: int, max_top2: int,
              rg_id: str | None, is_pe: bool, se_mode: bool) -> bytes:
-        """Native refine + MD + correct_trimmed + print_sam1 for a batch
-        (ibwa_pe_emit).  reads_by_e: Read objects in end-read order.
-        Returns the SAM text for the batch as bytes."""
-        self.enable_emit()
+        """emit_blobs over per-read Read objects (slow-loader paths:
+        -q trimming, barcodes, BAM input)."""
         n_er = len(reads_by_e)
-        seq_blob = (np.concatenate([r.seq for r in reads_by_e])
-                    if n_er else np.zeros(0, np.uint8))
-        rseq_blob = (np.concatenate([r.rseq for r in reads_by_e])
-                     if n_er else np.zeros(0, np.uint8))
-        seq_off = np.zeros(n_er + 1, dtype=np.int64)
-        seq_off[1:] = np.cumsum(np.asarray(lens, dtype=np.int64))
         orig_blob = (np.concatenate([r.orig for r in reads_by_e])
                      if n_er else np.zeros(0, np.uint8))
         orig_off = np.zeros(n_er + 1, dtype=np.int64)
@@ -302,6 +293,22 @@ class PeNative:
         bc_off = np.zeros(n_er + 1, dtype=np.int64)
         bc_off[1:] = np.cumsum([len(b) for b in bcs])
         bc_blob = np.frombuffer(b"".join(bcs) or b"\0", dtype=np.uint8)
+        return self.emit_blobs(
+            n_er, orig_blob, orig_off, qual_blob, qual_off, name_blob,
+            name_off, bc_blob, bc_off, lens, fulls, max_diff, i64, i32,
+            multi_cnt, multi_pos, multi_meta, multi_cap, in_cigs, mode,
+            max_top2, rg_id, is_pe, se_mode)
+
+    def emit_blobs(self, n_er, orig_blob, orig_off, qual_blob, qual_off,
+                   name_blob, name_off, bc_blob, bc_off, lens, fulls,
+                   max_diff, i64, i32, multi_cnt, multi_pos, multi_meta,
+                   multi_cap: int, in_cigs: dict | None, mode: int,
+                   max_top2: int, rg_id: str | None, is_pe: bool,
+                   se_mode: bool) -> bytes:
+        """Native refine + MD + correct_trimmed + print_sam1 for a batch
+        (ibwa_pe_emit) over flat end-read-ordered blobs.  Returns the SAM
+        text for the batch as bytes."""
+        self.enable_emit()
         if in_cigs:
             cnts = np.zeros(n_er, dtype=np.int32)
             for e, cig in in_cigs.items():
@@ -318,11 +325,13 @@ class PeNative:
         lens = np.ascontiguousarray(lens, dtype=np.int32)
         fulls = np.ascontiguousarray(fulls, dtype=np.int32)
         md = np.ascontiguousarray(max_diff, dtype=np.int32)
+        orig_blob = np.ascontiguousarray(orig_blob, dtype=np.uint8)
+        orig_off = np.ascontiguousarray(orig_off, dtype=np.int64)
+        qual_off = np.ascontiguousarray(qual_off, dtype=np.int64)
+        name_off = np.ascontiguousarray(name_off, dtype=np.int64)
         n = self._lib.ibwa_pe_emit(
             self._ctx, 1 if is_pe else 0, 1 if se_mode else 0,
             n_er // 2 if is_pe else n_er,
-            _ptr(seq_blob, ctypes.c_uint8), _ptr(rseq_blob, ctypes.c_uint8),
-            _ptr(seq_off, ctypes.c_int64),
             _ptr(orig_blob, ctypes.c_uint8), _ptr(orig_off, ctypes.c_int64),
             _ptr(qual_blob, ctypes.c_uint8), _ptr(qual_off, ctypes.c_int64),
             _ptr(name_blob, ctypes.c_uint8), _ptr(name_off, ctypes.c_int64),
