@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fm.device import DeviceFmPair, occ1, occ4
+from ..fm.device import DeviceFmPair, occ1, occ2, occ4
 from ..fm.fmindex import FmIndex
 from . import stack_kernel
 from .opts import (BWA_MODE_GAPE, BWA_MODE_LOGGAP, BWA_MODE_NONSTOP, GapOpt,
@@ -134,6 +134,11 @@ class EngineConfig:
     gape_mode: bool   # BWA_MODE_GAPE
     nonstop: bool     # BWA_MODE_NONSTOP
     loggap: bool      # BWA_MODE_LOGGAP
+    # E-chain dimer stages per step (0 = dimer table absent: fall back to
+    # single-base occ1 unrolling).  Each stage is ONE row gather of the
+    # 2-mer occ table and consumes TWO exact-extension bases (fm/device.py
+    # ::occ2) — an E pop burns 1 + 2*dimer_unroll bases.
+    dimer_unroll: int = 0
 
 
 def _pack_m2(nmm, gapo, gape):
@@ -466,26 +471,58 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
 
     # slot 9: exact-extension chain entry (spawn or continuation).
     # E-steps are ~85% of all iterations (one per remaining base,
-    # bwt.c:243-246), so burn down E_UNROLL-1 additional bases here —
-    # the chain is atomic under LIFO order, so this is order-exact.
+    # bwt.c:243-246), so burn down additional bases here — the chain is
+    # atomic under LIFO order, so this is order-exact.  With the dimer
+    # table each extra stage is one occ2 row gather consuming TWO bases
+    # (fm/device.py::occ2); without it, one occ1 gather per base.
     ev = cond_e | e_go
     ek9 = jnp.where(cond_e, e_k, e_k2)
     el9 = jnp.where(cond_e, e_l, e_l2)
     ei9 = jnp.where(cond_e, e_i, e_i - 1)
-    for _u in range(E_UNROLL - 1):
-        cont = ev & (ei9 > 0)
-        bu = seqs[rid, e_a, jnp.maximum(ei9 - 1, 0)].astype(I32)
-        cu = jnp.minimum(bu, 3).astype(U32)
-        klu = jnp.stack([ek9 - 1, el9], axis=-1)
-        ou = occ1(fm, sidx[:, None], klu, cu[:, None])   # [B, 2]
-        l2u = _sel4(cu, jnp.broadcast_to(fm.L2[:4][None, :], (B, 4)))
-        k2u = l2u + ou[:, 0] + 1
-        l2v = l2u + ou[:, 1]
-        okx = cont & (bu < 4) & (k2u <= l2v)
-        ev = ev & ~(cont & ~okx)
-        ek9 = jnp.where(okx, k2u, ek9)
-        el9 = jnp.where(okx, l2v, el9)
-        ei9 = jnp.where(okx, ei9 - 1, ei9)
+    if cfg.dimer_unroll > 0:
+        # one window gather serves every stage's read bases: window[j] =
+        # seq base at (start - 1 - j) where start = ei9 at stage entry
+        W = 2 * cfg.dimer_unroll
+        wpos = jnp.maximum(ei9[:, None] - 1
+                           - jnp.arange(W, dtype=I32)[None, :], 0)
+        win = seqs[rid[:, None], e_a[:, None], wpos].astype(I32)  # [B, W]
+        blocks2, oc2c, dtot, corr = fm.dimer
+        oc2row = oc2c[sidx]                              # [B, 16]
+        for _u in range(cfg.dimer_unroll):
+            cont = ev & (ei9 >= 2)
+            b_lo = win[:, 2 * _u]        # next base (c1), index ei9-1
+            b_hi = win[:, 2 * _u + 1]    # base after (c2), index ei9-2
+            du = (jnp.minimum(b_hi, 3) << 2 | jnp.minimum(b_lo, 3)
+                  ).astype(U32)
+            klu = jnp.stack([ek9 - 1, el9], axis=-1)
+            ou = occ2(fm, sidx[:, None], klu, du[:, None])   # [B, 2]
+            c2u = jnp.minimum(b_hi, 3).astype(U32)
+            l2u = _sel4(c2u, jnp.broadcast_to(fm.L2[:4][None, :], (B, 4)))
+            occc = jnp.zeros((B,), U32)
+            for j in range(16):
+                occc = occc + jnp.where(du == j, oc2row[:, j], 0)
+            k2u = l2u + occc + ou[:, 0] + 1
+            l2v = l2u + occc + ou[:, 1]
+            okx = cont & (b_lo < 4) & (b_hi < 4) & (k2u <= l2v)
+            ev = ev & ~(cont & ~okx)
+            ek9 = jnp.where(okx, k2u, ek9)
+            el9 = jnp.where(okx, l2v, el9)
+            ei9 = jnp.where(okx, ei9 - 2, ei9)
+    else:
+        for _u in range(E_UNROLL - 1):
+            cont = ev & (ei9 > 0)
+            bu = seqs[rid, e_a, jnp.maximum(ei9 - 1, 0)].astype(I32)
+            cu = jnp.minimum(bu, 3).astype(U32)
+            klu = jnp.stack([ek9 - 1, el9], axis=-1)
+            ou = occ1(fm, sidx[:, None], klu, cu[:, None])   # [B, 2]
+            l2u = _sel4(cu, jnp.broadcast_to(fm.L2[:4][None, :], (B, 4)))
+            k2u = l2u + ou[:, 0] + 1
+            l2v = l2u + ou[:, 1]
+            okx = cont & (bu < 4) & (k2u <= l2v)
+            ev = ev & ~(cont & ~okx)
+            ek9 = jnp.where(okx, k2u, ek9)
+            el9 = jnp.where(okx, l2v, el9)
+            ei9 = jnp.where(okx, ei9 - 1, ei9)
     c_valid[9] = ev
     c_k[9] = ek9
     c_l[9] = el9
@@ -536,9 +573,11 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
                    static_argnames=("seq_len", "n_blk", "shard_axis"))
 def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
                 seqs, lens, max_diff0, has_seed, seed_seqs, bad,
-                seq_len: int, n_blk: int, shard_axis: str | None = None):
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk,
-                      shard_axis)
+                seq_len: int, n_blk: int, shard_axis: str | None = None,
+                dimer=None):
+    fm = DeviceFmPair(blocks, L2, l2diff, primary,
+                      dimer if cfg.dimer_unroll else None,
+                      seq_len, n_blk, shard_axis)
     B = lens.shape[0]
 
     w, bid = _compute_widths(fm, seqs, lens, cfg.L)
@@ -612,6 +651,10 @@ E_UNROLL = 2     # exact-extension bases consumed per E pop. Swept 1-16
                  # 3/4 -> 5.9k, 8 -> 4.7k, 1 -> 4.6k (ITER_CAP fallback
                  # spikes). Each unroll iteration is one serial occ
                  # gather; chains longer than E_UNROLL simply re-pop.
+                 # Only used when the dimer table is absent.
+DIMER_UNROLL = 2  # occ2 (2-base) stages per step when the dimer table is
+                  # present: an E pop consumes 1 + 2*DIMER_UNROLL bases
+                  # for the same number of serial gathers as E_UNROLL=2+1.
 ITER_CAP = 384    # pushes before a read is routed to the host emulator
 SWITCH_K = 16    # search steps between lane-switch phases
 
@@ -622,7 +665,7 @@ SWITCH_K = 16    # search steps between lane-switch phases
 def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
                            seqs, lens, max_diff0, has_seed, seed_seqs, bad,
                            seq_len: int, n_blk: int, n_lanes: int,
-                           shard_axis: str | None = None):
+                           shard_axis: str | None = None, dimer=None):
     """Persistent-lane scheduler: B lanes stream through N reads.
 
     A plain batched dispatch pays max-pops-over-batch iterations while
@@ -632,8 +675,9 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     and reloads them with their next read, so total iterations track the
     MEAN pops per read instead of the max.
     """
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, seq_len, n_blk,
-                      shard_axis)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary,
+                      dimer if cfg.dimer_unroll else None,
+                      seq_len, n_blk, shard_axis)
     N = lens.shape[0]
     B = n_lanes
 
@@ -773,11 +817,12 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
 
 
 def make_config(L: int, max_diff_hi: int, opt: GapOpt,
-                seq_len: int = 0) -> EngineConfig:
+                seq_len: int = 0, dimer: bool = False) -> EngineConfig:
     """Static compile-time search parameters for a read batch."""
     nb = aln_score(max_diff_hi + 1, opt.max_gapo + 1, opt.max_gape + 1,
                    opt) + 1
     return EngineConfig(
+        dimer_unroll=DIMER_UNROLL if dimer else 0,
         L=L, SL=min(opt.seed_len, L), NB=nb,
         s_mm=opt.s_mm, s_gapo=opt.s_gapo, s_gape=opt.s_gape,
         max_gapo=opt.max_gapo, max_gape=opt.max_gape,
@@ -821,7 +866,10 @@ class JaxAlnEngine:
             import jax.sharding as jsh
             from ..parallel import mesh as pmesh
             self.mesh = pmesh.make_mesh(devices=devices)
-            self.n_dev = len(devices)
+            # chunk geometry is per-PROCESS: under jax.distributed each
+            # process feeds only its addressable devices' rows
+            self.n_dev = sum(1 for d in devices
+                             if d.process_index == jax.process_index())
             repl = jsh.NamedSharding(self.mesh, jsh.PartitionSpec())
             put = functools.partial(jax.device_put, device=repl)
             self.dfm = build_device_pair(fms[0], fms[1], put=put)
@@ -835,7 +883,8 @@ class JaxAlnEngine:
                                               HOST_FRAC_INIT))
 
     def _config(self, L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
-        return make_config(L, max_diff_hi, opt, seq_len=self.dfm.seq_len)
+        return make_config(L, max_diff_hi, opt, seq_len=self.dfm.seq_len,
+                           dimer=self.dfm.dimer is not None)
 
     def align_batch(self, seqs: list[np.ndarray], rseqs: list[np.ndarray],
                     opt: GapOpt) -> list[list[Hit]]:
@@ -962,17 +1011,22 @@ class JaxAlnEngine:
                     jnp.asarray(p_md), jnp.asarray(hs),
                     jnp.asarray(ssq), jnp.asarray(bad),
                     seq_len=self.dfm.seq_len, n_blk=self.dfm.n_blk,
-                    n_lanes=DEV_BATCH)
+                    n_lanes=DEV_BATCH, dimer=self.dfm.dimer)
             pending.append((lo, hi, res))
 
         fb_jobs: list[tuple[list[int], object]] = []
         n_fb = 0
         for lo, hi, (harr, n_hits, fb, it) in pending:
             B = hi - lo
-            harr = np.asarray(harr)[:B]
-            nh = np.asarray(n_hits)[:B].tolist()
-            fb = np.asarray(fb)[:B]
-            self.stats["iterations"] += int(np.max(np.asarray(it)))
+            if self.mesh is not None:
+                from ..parallel import mesh as pmesh
+                _np = pmesh.to_local_np
+            else:
+                _np = np.asarray
+            harr = _np(harr)[:B]
+            nh = _np(n_hits)[:B].tolist()
+            fb = _np(fb)[:B]
+            self.stats["iterations"] += int(np.max(_np(it)))
             chunk_fb = np.nonzero(fb)[0]
             if len(chunk_fb):
                 idxs = [lo + int(b) for b in chunk_fb]

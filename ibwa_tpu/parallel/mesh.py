@@ -35,8 +35,31 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devs), ("dp",))
 
 
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def to_local_np(a) -> "np.ndarray":
+    """Materialize the process-local rows of a dp-sharded result array.
+
+    Single-controller arrays come back whole; under `jax.distributed`
+    each process sees exactly the rows it fed (its addressable shards,
+    in dp order) — the multi-host analog of the reference's per-process
+    `.sai` stream (bwtaln.c:192)."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    shards = sorted(a.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def shard_inputs(mesh: Mesh, dfm: DeviceFmPair, arrays: tuple):
-    """Place the index replicated and the read batch sharded over dp."""
+    """Place the index replicated and the read batch sharded over dp.
+
+    Under a multi-process mesh, `arrays` are interpreted as the caller's
+    process-LOCAL read rows (each process feeds its own shard); the
+    replicated FM index must hold identical values in every process
+    (true by construction: all processes load the same artifacts)."""
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("dp"))
     # device_put straight from host memory (jnp.asarray would bounce the
@@ -45,7 +68,15 @@ def shard_inputs(mesh: Mesh, dfm: DeviceFmPair, arrays: tuple):
                              and a.sharding == s) else jax.device_put(a, s)
     fm_args = tuple(put(a, repl)
                     for a in (dfm.blocks, dfm.L2, dfm.l2diff, dfm.primary))
-    batch = tuple(put(a, shard) for a in arrays)
+    fm_args += (None if dfm.dimer is None
+                else tuple(put(a, repl) for a in dfm.dimer),)
+    if mesh_is_multiprocess(mesh):
+        batch = tuple(
+            a if isinstance(a, jax.Array)
+            else jax.make_array_from_process_local_data(shard, a)
+            for a in arrays)
+    else:
+        batch = tuple(put(a, shard) for a in arrays)
     return fm_args, batch
 
 
@@ -61,8 +92,8 @@ def run_sharded_search(cfg, mesh: Mesh, dfm: DeviceFmPair, seqs, lens,
         mesh, dfm, (seqs, lens, max_diff, has_seed, seed_seqs, bad))
     with mesh:
         return engine_jax._run_search(
-            cfg, *fm_args, *batch,
-            seq_len=dfm.seq_len, n_blk=dfm.n_blk)
+            cfg, *fm_args[:4], *batch,
+            seq_len=dfm.seq_len, n_blk=dfm.n_blk, dimer=fm_args[4])
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,17 +102,17 @@ def _persistent_sharded_fn(cfg, mesh: Mesh, seq_len: int, n_blk: int,
     """Compiled per-(config, mesh) sharded persistent search; cached so the
     production path does not retrace on every chunk dispatch."""
 
-    def local(blocks, L2, l2diff, primary, *b):
+    def local(blocks, L2, l2diff, primary, dimer, *b):
         hits, n_hits, fb, it = engine_jax._run_search_persistent.__wrapped__(
             cfg, blocks, L2, l2diff, primary, *b,
-            seq_len=seq_len, n_blk=n_blk, n_lanes=n_lanes)
+            seq_len=seq_len, n_blk=n_blk, n_lanes=n_lanes, dimer=dimer)
         return hits, n_hits, fb, it[None]
 
     repl = P()
     shard = P("dp")
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(repl, repl, repl, repl) + (shard,) * 6,
+        in_specs=(repl, repl, repl, repl, repl) + (shard,) * 6,
         out_specs=(shard, shard, shard, shard),
         check_vma=False))
 
