@@ -575,8 +575,12 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
                 seqs, lens, max_diff0, has_seed, seed_seqs, bad,
                 seq_len: int, n_blk: int, shard_axis: str | None = None,
                 dimer=None):
-    fm = DeviceFmPair(blocks, L2, l2diff, primary,
-                      dimer if cfg.dimer_unroll else None,
+    if not cfg.dimer_unroll:
+        dimer = None
+    elif dimer is not None:
+        # closure-captured numpy tables can't be indexed by tracers
+        dimer = tuple(jnp.asarray(a) for a in dimer)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
                       seq_len, n_blk, shard_axis)
     B = lens.shape[0]
 
@@ -675,8 +679,11 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     and reloads them with their next read, so total iterations track the
     MEAN pops per read instead of the max.
     """
-    fm = DeviceFmPair(blocks, L2, l2diff, primary,
-                      dimer if cfg.dimer_unroll else None,
+    if not cfg.dimer_unroll:
+        dimer = None
+    elif dimer is not None:
+        dimer = tuple(jnp.asarray(a) for a in dimer)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
                       seq_len, n_blk, shard_axis)
     N = lens.shape[0]
     B = n_lanes
