@@ -216,6 +216,17 @@ def _pack_meta(w, bid):
             | ((wp == w).astype(U32) << 28))
 
 
+def _base_bits(cfg: EngineConfig, seqs):
+    """Bits 29-31 of the meta plane: the read base per main position
+    (dimer mode only) — lets the pop's meta gather double as the base +
+    E-window fetch.  Seed-region positions carry 4 (never read)."""
+    if not cfg.dimer_unroll:
+        return jnp.uint32(0)
+    B = seqs.shape[0]
+    pad = jnp.full((B, 2, cfg.SL + 2), 4, dtype=U32)
+    return jnp.concatenate([seqs.astype(U32), pad], axis=2) << 29
+
+
 def _sel4(c, table):
     """table[..., c] via arithmetic select (avoids slow tiny gathers)."""
     out = jnp.zeros(c.shape, table.dtype)
@@ -296,11 +307,21 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     lj = l2b + cnt_l
     # width/bid facts at (i2-1, i2) + seed equivalents: precomputed into
     # the packed meta plane (main table then seed table on the position
-    # axis), so the pop needs ONE [B,2]-position gather
+    # axis), so the pop needs ONE [B,2]-position gather.  In dimer mode
+    # the plane's bits 29-31 also carry the read base, and the same
+    # gather fetches the 2*dimer_unroll window bases the E stages need —
+    # folding what were three serial gathers (meta, base, window) into
+    # one (every op on this part runs serially; fewer ops == less wall).
     ii = i2 - (lens - cfg.SL)
     ii_c = jnp.clip(ii, 0, cfg.SL)
     SOFF = cfg.L + 1
-    pos2 = jnp.stack([i2, ii_c + SOFF], axis=-1)
+    if cfg.dimer_unroll:
+        wrel = jnp.arange(1, 2 * cfg.dimer_unroll + 1, dtype=I32)[None, :]
+        wpos = jnp.maximum(i2[:, None] - wrel, 0)
+        pos2 = jnp.concatenate(
+            [jnp.stack([i2, ii_c + SOFF], axis=-1), wpos], axis=-1)
+    else:
+        pos2 = jnp.stack([i2, ii_c + SOFF], axis=-1)
     r2 = rows[:, None]
     a2 = e_a[:, None]
     mg = meta[r2, a2, pos2]
@@ -311,7 +332,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     sbm1 = (ms_ & 0x3FFF).astype(I32)
     sb0 = ((ms_ >> 14) & 0x3FFF).astype(I32)
     sweq = (ms_ >> 28) & 1
-    base = seqs[rid, e_a, i2].astype(I32)            # read base (both paths)
+    if cfg.dimer_unroll:
+        base = (mm_ >> 29).astype(I32)               # read base (both paths)
+    else:
+        base = seqs[rid, e_a, i2].astype(I32)        # read base (both paths)
 
     # ---- normal entry: budget + D(i) width pruning ----
     m = max_diff - (e_nmm + e_gapo)
@@ -374,7 +398,9 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     w = jnp.where(upd & (w > x[:, None, None]), w - x[:, None, None],
                   jnp.where(meq, seq_len_u - j.astype(U32), w))
     bid = jnp.where(meq, 1, bid)
-    meta = _pack_meta(w, bid)   # cheap full-plane elementwise refresh
+    # cheap full-plane elementwise refresh; bits 29-31 (read base in
+    # dimer mode, zero otherwise) are invariant for a loaded read
+    meta = _pack_meta(w, bid) | (meta & jnp.uint32(0xE0000000))
 
     # ---- expansion (bwtgap.c:198-258) ----
     occv = e_l - e_k + 1
@@ -480,18 +506,21 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     el9 = jnp.where(cond_e, e_l, e_l2)
     ei9 = jnp.where(cond_e, e_i, e_i - 1)
     if cfg.dimer_unroll > 0:
-        # one window gather serves every stage's read bases: window[j] =
-        # seq base at (start - 1 - j) where start = ei9 at stage entry
-        W = 2 * cfg.dimer_unroll
-        wpos = jnp.maximum(ei9[:, None] - 1
-                           - jnp.arange(W, dtype=I32)[None, :], 0)
-        win = seqs[rid[:, None], e_a[:, None], wpos].astype(I32)  # [B, W]
+        # stage bases come from the fused meta gather: Q[j] = read base
+        # at position i2 - j (Q[0] is `base`); a cond_e lane's chain
+        # starts one base later than an e_go lane's, hence the offset
+        # select.  A failed/exhausted stage freezes ei9 AND kills ev, so
+        # the static per-stage indices stay consistent.
+        Q = [base.astype(U32)] + [mg[:, 2 + j] >> 29
+                                  for j in range(2 * cfg.dimer_unroll)]
         blocks2, oc2c, dtot, corr = fm.dimer
         oc2row = oc2c[sidx]                              # [B, 16]
         for _u in range(cfg.dimer_unroll):
             cont = ev & (ei9 >= 2)
-            b_lo = win[:, 2 * _u]        # next base (c1), index ei9-1
-            b_hi = win[:, 2 * _u + 1]    # base after (c2), index ei9-2
+            b_lo = jnp.where(cond_e, Q[2 * _u],
+                             Q[2 * _u + 1]).astype(I32)
+            b_hi = jnp.where(cond_e, Q[2 * _u + 1],
+                             Q[2 * _u + 2]).astype(I32)
             du = (jnp.minimum(b_hi, 3) << 2 | jnp.minimum(b_lo, 3)
                   ).astype(U32)
             klu = jnp.stack([ek9 - 1, el9], axis=-1)
@@ -589,7 +618,7 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     sw, sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
     w = jnp.concatenate([w, sw], axis=2)
     bid = jnp.concatenate([bid, sbid], axis=2)
-    meta = _pack_meta(w, bid)
+    meta = _pack_meta(w, bid) | _base_bits(cfg, seqs)
 
     # stack planes (flat [B, acap] per field; see _search_step docstring)
     sk = jnp.zeros((B, cfg.acap), dtype=U32)
@@ -693,7 +722,7 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     big_sw, big_sbid = _compute_widths(fm, seed_seqs, slens, cfg.SL)
     big_w = jnp.concatenate([big_w, big_sw], axis=2)
     big_bid = jnp.concatenate([big_bid, big_sbid], axis=2)
-    big_meta = _pack_meta(big_w, big_bid)
+    big_meta = _pack_meta(big_w, big_bid) | _base_bits(cfg, seqs)
 
     out_hk = jnp.zeros((N, HCAP), dtype=U32)
     out_hl = jnp.zeros((N, HCAP), dtype=U32)
