@@ -45,7 +45,12 @@ def _build() -> None:
     # already dlopened the previous build
     tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+        # initial-exec TLS: thread_local scratch in the hot DP loops would
+        # otherwise go through __tls_get_addr on every access (~4% of
+        # bwasw CPU measured); glibc reserves static TLS headroom for
+        # dlopen'd libs and ours is a handful of pointers
+        "g++", "-O3", "-g", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-fopenmp", "-ftls-model=initial-exec",
         *_SRCS, "-o", tmp,
     ]
     try:

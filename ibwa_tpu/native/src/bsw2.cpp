@@ -248,11 +248,13 @@ static void heapadjust(int i, int n, int64_t* h) {
 // cut_tail (bwtsw2_core.c:122-145)
 static void cut_tail(Entry& u, int T) {
   if ((int)u.cells.size() <= T) return;
-  std::vector<int64_t> a;
+  static thread_local std::vector<int64_t> a;
+  a.clear();
   for (const Cell& c : u.cells)
     if (c.ql && c.G > 0) a.push_back(-c.G);
   if ((int)a.size() <= T) return;
-  std::sort(a.begin(), a.end());
+  // selection, not a full sort (the reference's ks_ksmall)
+  std::nth_element(a.begin(), a.begin() + T, a.end());
   int64_t x = -a[T];
   int n = 0;
   for (Cell& p : u.cells) {
@@ -525,9 +527,18 @@ struct EntryPool {
   }
 };
 
+static double g_c_pre = 0, g_c_fill = 0, g_c_save = 0, g_c_child = 0;
+static double bsw_now2();
+// section timers are compiled in but only sampled under IBWA_BSW2_TIME
+static bool bsw_prof() {
+  static const bool on = getenv("IBWA_BSW2_TIME") != nullptr;
+  return on;
+}
+
 static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
                       std::vector<Hit>& b, std::vector<Hit>& b1,
                       EntryPool& pool) {
+  double tpre = bsw_prof() ? bsw_now2() : 0;
   // connectivity prepass (bwtsw2_core.c:87-120)
   static thread_local FlatU64Map chash;
   chash.reset((size_t)target.seq_len * 2 + 16);
@@ -557,6 +568,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
     }
   }
 
+  if (bsw_prof()) g_c_pre += bsw_now2() - tpre;
   int32_t score_mat[4][4];
   for (int i = 0; i < 4; ++i)
     for (int j = 0; j < 4; ++j)
@@ -612,53 +624,64 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
       std::fill(heap.begin(), heap.end(), 0);
       const int32_t* csm = score_mat[tj];
 
+      double tfill = bsw_prof() ? bsw_now2() : 0;
+      u->cells.reserve(v->cells.size());
       for (int i = 0; i < (int)v->cells.size(); ++i) {
-        // NOTE: v->cells may grow during this loop; index, don't iterate
+        // NOTE: v->cells grows during this loop (the qj section), so the
+        // data pointer is re-cached per iteration and re-fetched after
+        // every push; within an iteration `p` stays valid until then.
+        Cell* vc = v->cells.data();
+        Cell& p = vc[i];
         bool is_added = false;
-        if (v->cells[i].ql == 0) continue;
-        Cell x;
-        x.G = MINUS_INF;
-        v->cells[i].upos = x.upos = -1;
-        if (v->cells[i].ppos >= 0) {  // parent has been visited
-          Cell& par = v->cells[v->cells[i].ppos];
+        if (p.ql == 0) continue;
+        int64_t xG = MINUS_INF;
+        p.upos = -1;
+        if (p.ppos >= 0) {  // parent has been visited
+          Cell& par = vc[p.ppos];
           Cell* c1 = (par.upos >= 0) ? &u->cells[par.upos] : nullptr;
           // fill_cell (bwtsw2_core.c:401-413)
-          int64_t G = par.G + csm[v->cells[i].pj];
+          int64_t G = par.G + csm[p.pj];
+          int32_t xI;
           if (c1) {
-            x.I = (c1->I > c1->G - opt.q) ? c1->I - opt.r
-                                          : c1->G - opt.qr();
-            if (x.I > G) G = x.I;
+            xI = (c1->I > c1->G - opt.q) ? c1->I - opt.r
+                                         : c1->G - opt.qr();
+            if (xI > G) G = xI;
           } else {
-            x.I = MINUS_INF;
+            xI = MINUS_INF;
           }
-          Cell& p = v->cells[i];
-          x.D = (p.D > p.G - opt.q) ? p.D - opt.r : p.G - opt.qr();
-          if (x.D > G) G = x.D;
-          x.G = G;
+          int32_t xD = (p.D > p.G - opt.q) ? p.D - opt.r : p.G - opt.qr();
+          if (xD > G) G = xD;
+          xG = G;
           if (G > 0) {
-            x.ppos = par.upos;
+            int32_t xppos = par.upos;
             p.upos = (int)u->cells.size();
-            u->cells.push_back(x);
-            if (x.ppos >= 0)
-              u->cells[x.ppos].cpos[p.pj] = p.upos;
+            u->cells.emplace_back();
+            Cell& xs = u->cells.back();   // fresh slot, default cpos=-1
+            xs.I = xI;
+            xs.D = xD;
+            xs.G = (int32_t)G;
+            xs.ppos = xppos;
+            xs.upos = -1;
+            if (xppos >= 0) u->cells[xppos].cpos[p.pj] = p.upos;
             is_added = true;
           }
         } else {
-          Cell& p = v->cells[i];
-          x.D = (p.D > p.G - opt.q) ? p.D - opt.r : p.G - opt.qr();
-          if (x.D > 0) {
-            x.G = x.D;
-            x.I = MINUS_INF;
-            x.ppos = -1;
+          int32_t xD = (p.D > p.G - opt.q) ? p.D - opt.r : p.G - opt.qr();
+          if (xD > 0) {
+            xG = xD;
             p.upos = (int)u->cells.size();
-            u->cells.push_back(x);
+            u->cells.emplace_back();
+            Cell& xs = u->cells.back();
+            xs.I = MINUS_INF;
+            xs.D = xD;
+            xs.G = xD;
+            xs.ppos = -1;
+            xs.upos = -1;
             is_added = true;
           }
         }
         if (is_added) {
-          Cell& p = v->cells[i];
-          Cell& xs = u->cells[p.upos];
-          xs.cpos[0] = xs.cpos[1] = xs.cpos[2] = xs.cpos[3] = -1;
+          Cell& xs = u->cells.back();
           xs.pj = p.pj;
           xs.qk = p.qk;
           xs.ql = p.ql;
@@ -669,9 +692,7 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
             heapadjust(0, heap_size, heap.data());
           }
         }
-        int64_t xG = is_added ? u->cells[v->cells[i].upos].G : x.G;
         if ((xG > opt.qr() && xG >= -heap[0]) || i < old_n) {
-          Cell& p = v->cells[i];
           if (p.cpos[0] == -1 || p.cpos[1] == -1 || p.cpos[2] == -1 ||
               p.cpos[3] == -1) {
             int64_t qcntk[4], qcntl[4];
@@ -685,21 +706,30 @@ static void bsw2_core(const Opt& opt, const Bwtl& target, const Itl& query,
                 v->cells[i].cpos[qj] = -2;
                 continue;
               }
-              Cell y;
-              y.qk = k2;
-              y.ql = l2;
+              int32_t at = (int)v->cells.size();
+              v->cells.emplace_back();
+              Cell& y = v->cells.back();  // fresh slot, default fields
+              Cell& p2 = v->cells[i];     // re-fetch: emplace may realloc
+              y.qk = (uint32_t)k2;
+              y.ql = (uint32_t)l2;
               y.pj = qj;
-              y.qlen = v->cells[i].qlen + 1;
+              y.qlen = p2.qlen + 1;
               y.ppos = i;
-              y.tlen = v->cells[i].tlen;
-              v->cells[i].cpos[qj] = (int)v->cells.size();
-              v->cells.push_back(y);
+              y.tlen = p2.tlen;
+              p2.cpos[qj] = at;
             }
           }
         }
       }
 
-      if (!u->cells.empty()) save_hits(target, opt.t, b, *u);
+      if (bsw_prof()) {
+        double now = bsw_now2();
+        g_c_fill += now - tfill;
+        if (!u->cells.empty()) save_hits(target, opt.t, b, *u);
+        g_c_save += bsw_now2() - now;
+      } else if (!u->cells.empty()) {
+        save_hits(target, opt.t, b, *u);
+      }
       // push u to stack0 or pending (bwtsw2_core.c:546-580)
       uint64_t full = *chash.find(key);
       uint64_t pos = full >> 32;
@@ -803,6 +833,11 @@ struct HL {
 
 // env-gated stage timers (IBWA_BSW2_TIME=1)
 static double g_t_core = 0, g_t_ext = 0, g_t_cig = 0, g_t_other = 0;
+static double bsw_now2() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
 static double bsw_now() {
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -1601,9 +1636,12 @@ int64_t ibwa_bsw2_run(void* pctx, int32_t n_reads, const uint8_t* seq_blob,
   g_t_other += bsw_now() - t_all;
   *rng_state = rng;
   if (getenv("IBWA_BSW2_TIME")) {
-    fprintf(stderr, "[bsw2] core %.2fs ext %.2fs cigar %.2fs all %.2fs\n",
-            g_t_core, g_t_ext, g_t_cig, g_t_other);
+    fprintf(stderr, "[bsw2] core %.2fs ext %.2fs cigar %.2fs all %.2fs | "
+            "core: pre %.2fs fill %.2fs save %.2fs\n",
+            g_t_core, g_t_ext, g_t_cig, g_t_other, g_c_pre, g_c_fill,
+            g_c_save);
     g_t_core = g_t_ext = g_t_cig = g_t_other = 0;
+    g_c_pre = g_c_fill = g_c_save = g_c_child = 0;
   }
   return (int64_t)ctx->buf.size();
 }

@@ -476,7 +476,9 @@ int32_t ibwa_global_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
   if (b1 > len1) b1 = len1;
   if (b2 > len2) b2 = len2;
 
-  std::vector<DpScore> rowA(len1 + 1), rowB(len1 + 1);
+  static thread_local std::vector<DpScore> rowA, rowB;
+  rowA.assign((size_t)len1 + 1, DpScore());
+  rowB.assign((size_t)len1 + 1, DpScore());
   DpScore* curr = rowA.data();
   DpScore* last = rowB.data();
   // traceback matrix: grow-only uninitialized scratch — only band cells
@@ -841,20 +843,20 @@ void ibwa_extend_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
   if (len1 == 0 || len2 == 0) return;
   const int q = gap_open, r = gap_ext, qr = q + r;
 
-  std::vector<int> prof(row * (len1 + 1));
-  for (int c = 0; c < row; ++c)
-    for (int i = 1; i <= len1; ++i)
-      prof[c * (len1 + 1) + i] = matrix[c * row + seq1[i - 1]];
-
-  std::vector<uint32_t> eh(len1 + 2, 0);
+  // no per-call score profile: the reference indexes the matrix row
+  // directly per cell (stdaln.c:905); a profile costs an O(row*len1)
+  // fill + allocation per call and extensions are called per hit side
+  static thread_local std::vector<uint32_t> eh;
+  eh.assign((size_t)len1 + 2, 0);
   int start = 1, end = 2;
   int end_i = 0, end_j = 0, score = 0;
   int is_overflow = 0, of_base = 0;
   eh[1] = (uint32_t)G0 << 16;
+  const uint8_t* s1 = seq1 - 1;  // 1-based cell index -> seq1[i-1]
 
   for (int j = 1; j <= len2; ++j) {
     int h1 = 0, f = 0;
-    const int* sa = &prof[seq2[j - 1] * (len1 + 1)];
+    const int32_t* srow = matrix + (size_t)seq2[j - 1] * row;
     int s2 = j - band;
     if (s2 < 1) s2 = 1;
     if (s2 > start) start = s2;
@@ -878,7 +880,7 @@ void ibwa_extend_aln(const uint8_t* seq1, int32_t len1, const uint8_t* seq2,
       int h = (int)(eh[i] >> 16);
       int e = eh[i] & 0xffff;
       eh[i] = (uint32_t)h1 << 16;
-      h += h ? sa[i] : 0;  // left_core specific: empty cells stay empty
+      h += h ? srow[s1[i]] : 0;  // left_core: empty cells stay empty
       h = h > e ? h : e;
       h = h > f ? h : f;
       h1 = h;
