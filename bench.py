@@ -318,7 +318,7 @@ def main() -> None:
     B, L = 1024, 104
     step_bytes = (5 * B * ACAP * 4 * 2          # stack planes (r+w)
                   + 3 * B * 2 * (L + 34) * 4 * 2  # w/bid/meta planes
-                  + B * 2 * 48 * (1 + 1)        # occ4 + unroll occ1 rows
+                  + B * 2 * (48 + 2 * 128)      # occ4 + 2 dimer occ2 rows
                   + B * 3 * HCAP * 0)           # hit scatters (sparse)
     hbm_gbs = step_bytes * steps / dt / 1e9
     extra = {
