@@ -181,6 +181,62 @@ def test_sam_stage_batch_seam(adv_case, oracle, monkeypatch):
     assert ours == refs
 
 
+def test_softmask_iupac(tmp_path_factory, oracle):
+    """Real-world sequence properties the simulator lacks: soft-masked
+    lowercase runs and IUPAC ambiguity codes (both common in public
+    assemblies; nst_nt4_table maps them case-insensitively / to N,
+    bntseq.c).  Index artifacts + aln + samse byte parity."""
+    tmp = tmp_path_factory.mktemp("iupac")
+    rng = random.Random(5)
+    chars = []
+    for _ in range(30000):
+        c = rng.choice("ACGT")
+        if rng.random() < 0.3:
+            c = c.lower()
+        if rng.random() < 0.003:
+            c = rng.choice("MRWSYKVHDBN")
+        chars.append(c)
+    s = "".join(chars)
+    fa = tmp / "g.fa"
+    fa_ref = tmp / "g_ref.fa"
+    for p in (fa, fa_ref):
+        with open(p, "w") as f:
+            f.write(">iu ctg\n")
+            for i in range(0, len(s), 61):
+                f.write(s[i:i + 61] + "\n")
+    subprocess.run([oracle, "index", str(fa_ref)], check=True,
+                   capture_output=True)
+    builder.bwa_index(str(fa))
+    for ext in ("pac", "rpac", "ann", "amb", "bwt", "rbwt", "sa", "rsa"):
+        assert (tmp / f"g.fa.{ext}").read_bytes() == \
+            (tmp / f"g_ref.fa.{ext}").read_bytes(), ext
+    comp = dict(zip("ACGTacgt", "TGCAtgca"))
+    fq = tmp / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(150):
+            p = rng.randrange(0, len(s) - 80)
+            r = s[p:p + 72]
+            if rng.random() < 0.5:
+                r = "".join(comp.get(c, "N") for c in reversed(r))
+            q = "".join(chr(33 + rng.randrange(2, 41)) for _ in r)
+            f.write(f"@u{i}\n{r}\n+\n{q}\n")
+    ref_sai = tmp / "r.ref.sai"
+    ref_sai.write_bytes(subprocess.run(
+        [oracle, "aln", str(fa_ref), str(fq)], check=True,
+        capture_output=True).stdout)
+    buf = io.BytesIO()
+    aln_to_stream(str(fa), str(fq), GapOpt(), buf, engine="jax")
+    assert buf.getvalue() == ref_sai.read_bytes(), ".sai mismatch"
+    ref_sam = subprocess.run(
+        [oracle, "samse", str(fa_ref), str(ref_sai), str(fq)], check=True,
+        capture_output=True).stdout.decode()
+    out = io.StringIO()
+    sai2sam_se(str(fa), str(ref_sai), str(fq), out=out)
+    ours = [l for l in out.getvalue().split("\n") if not l.startswith("@PG")]
+    refs = [l for l in ref_sam.split("\n") if not l.startswith("@PG")]
+    assert ours == refs
+
+
 @pytest.fixture(scope="module")
 def remap3_case(tmp_path_factory, oracle):
     """Primary + TWO alt databases (3 prefixes), mixed exact/edited."""
