@@ -217,18 +217,40 @@ struct InterleavedBwt {
   uint32_t seq_len;
 };
 
+// counts code c among the TOP nbases (1..32) 2-bit fields of
+// dw = (w_hi << 32) | w_lo (w_hi holds the earlier positions) — the
+// reference processes 32 bases per popcount this way (bwt.c __occ_aux)
+static inline uint32_t count_code_prefix64(uint64_t dw, int c, int nbases) {
+  uint64_t t = dw ^ (0x5555555555555555ULL * (uint64_t)c);
+  t = ~t;
+  t &= t >> 1;
+  t &= 0x5555555555555555ULL;
+  if (nbases < 32) t &= ~((1ULL << ((32 - nbases) * 2)) - 1ULL);
+  return (uint32_t)__builtin_popcountll(t);
+}
+
+// single-channel in-block scan: top `nb` (1..128) bases of the 8-word row
+static inline uint32_t occ1_scan(const uint32_t* w, int c, uint32_t nb) {
+  uint32_t n = 0, j = 0;
+  while (nb >= 32) {
+    n += count_code_prefix64(((uint64_t)w[j] << 32) | w[j + 1], c, 32);
+    j += 2;
+    nb -= 32;
+  }
+  if (nb > 16)
+    n += count_code_prefix64(((uint64_t)w[j] << 32) | w[j + 1], c, (int)nb);
+  else if (nb)
+    n += count_code_prefix(w[j], c, (int)nb);
+  return n;
+}
+
 static uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
   // #\{i <= k : B0[i] == c\}; k == 0xFFFFFFFF means "before the start"
   if (k == 0xFFFFFFFFu) return 0;
   if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
   if (k >= b.primary) --k;  // the sentinel is not stored
   const uint32_t* blk = b.data + (k / 128) * 12;
-  const uint32_t* w = blk + 4;
-  uint32_t full_words = (k % 128) / 16;  // words fully below k's word
-  uint32_t x = 0;
-  for (uint32_t j = 0; j < full_words; ++j) x += occ_packed4(w[j]);
-  x += occ_packed4_prefix(w[full_words], (k % 16) + 1);
-  return blk[c] + ((x >> (8 * c)) & 0xff);
+  return blk[c] + occ1_scan(blk + 4, c, (k % 128) + 1);
 }
 
 // paired occ1 at (k, l) sharing the block scan when both land in one
@@ -246,14 +268,9 @@ static inline void occ1_pair(const InterleavedBwt& b, uint32_t k, uint32_t l,
   }
   const uint32_t* blk = b.data + (k2 / 128) * 12;
   const uint32_t* w = blk + 4;
-  uint32_t fw_k = (k2 % 128) / 16, fw_l = (l2 % 128) / 16;
-  uint32_t x = 0, j = 0;
-  for (; j < fw_k; ++j) x += occ_packed4(w[j]);
-  uint32_t xk = x + occ_packed4_prefix(w[fw_k], (k2 % 16) + 1);
-  for (; j < fw_l; ++j) x += occ_packed4(w[j]);
-  uint32_t xl = x + occ_packed4_prefix(w[fw_l], (l2 % 16) + 1);
-  *ok = blk[c] + ((xk >> (8 * c)) & 0xff);
-  *ol = blk[c] + ((xl >> (8 * c)) & 0xff);
+  // one row fetch, two 64-bit-chunk scans (the row stays in L1)
+  *ok = blk[c] + occ1_scan(w, c, (k2 % 128) + 1);
+  *ol = blk[c] + occ1_scan(w, c, (l2 % 128) + 1);
 }
 
 static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
