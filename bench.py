@@ -31,6 +31,30 @@ REPO = pathlib.Path(__file__).resolve().parent
 # persistent XLA compile cache: the engine configs take minutes to
 # compile; reuse across bench invocations
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
+
+
+def _probe_backend() -> None:
+    """The axon tunnel can be down for hours; `jax.devices()` then hangs
+    FOREVER inside the PJRT client init — which would leave the driver
+    with no bench JSON at all.  Probe in a subprocess with a timeout and
+    re-exec on pure CPU (axon stripped) if the chip is unreachable, so a
+    labeled CPU-fallback line still gets printed."""
+    if os.environ.get("IBWA_BENCH_PROBED"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=600, check=True, capture_output=True)
+        os.environ["IBWA_BENCH_PROBED"] = "tpu"
+        return
+    except Exception:
+        log("device backend unreachable (axon tunnel down?) — "
+            "re-exec on CPU; the headline will be labeled cpu-fallback")
+        env = dict(os.environ)
+        env["IBWA_BENCH_PROBED"] = "cpu-fallback"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = str(REPO)
+        os.execve(sys.executable, [sys.executable, __file__], env)
 WORK = REPO / ".bench"
 GENOME_TAG = "rep1"       # bump when the genome recipe changes
 GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
@@ -263,6 +287,7 @@ def bench_stages(fa: pathlib.Path, extra: dict) -> None:
 
 
 def main() -> None:
+    _probe_backend()
     fa, fq = ensure_inputs()
 
     from ibwa_tpu.align.engine_jax import (ACAP, HCAP, JaxAlnEngine)
@@ -348,12 +373,15 @@ def main() -> None:
 
     (WORK / "bench_extra.json").write_text(json.dumps(extra, indent=1))
     log(f"extra metrics: {json.dumps(extra)}")
-    print(json.dumps({
+    rec = {
         "metric": "aln_reads_per_s_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+    }
+    if os.environ.get("IBWA_BENCH_PROBED") == "cpu-fallback":
+        rec["backend"] = "cpu-fallback"   # axon tunnel was down
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
