@@ -26,6 +26,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "lf_step.h"
+
 namespace {
 
 constexpr int32_t MINUS_INF = -0x3FFFFFFF;
@@ -168,14 +170,20 @@ static inline int fm_code_at(const Itl& b, uint32_t k) {
   return (int)((word >> (((~k) & 0xF) << 1)) & 3u);
 }
 
-static uint32_t fm_inv_psi(const Itl& b, uint32_t k) {
-  if (k == b.primary) return 0;
-  int c = (k < b.primary) ? fm_code_at(b, k) : fm_code_at(b, k - 1);
-  return b.l2[c] + fm_occ1(b, k, c);
+static inline uint32_t fm_inv_psi(const Itl& b, uint32_t k) {
+  return ibwa_lf::lf_step(b.data, b.primary, b.l2, b.seq_len, k);
 }
 
 static uint32_t fm_sa(const Itl& b, uint32_t k) {
   uint32_t add = 0;
+  if (b.sa_intv && (b.sa_intv & (b.sa_intv - 1)) == 0) {
+    const uint32_t mask = b.sa_intv - 1;
+    while (k & mask) {
+      ++add;
+      k = fm_inv_psi(b, k);
+    }
+    return add + b.sampled_sa[k / b.sa_intv];
+  }
   while (k % b.sa_intv != 0) {
     ++add;
     k = fm_inv_psi(b, k);

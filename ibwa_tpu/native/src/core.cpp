@@ -16,6 +16,8 @@
 #include <memory>
 #include <vector>
 
+#include "lf_step.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -279,11 +281,9 @@ static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
   return (int)((word >> (((~k) & 0xF) << 1)) & 3u);
 }
 
-static uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
+static inline uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
   // LF-mapping step; mirrors the macro contract at reference bwt.h:66-70
-  if (k == b.primary) return 0;
-  int c = (k < b.primary) ? bwt_code_at(b, k) : bwt_code_at(b, k - 1);
-  return b.l2[c] + occ1(b, k, c);
+  return ibwa_lf::lf_step(b.data, b.primary, b.l2, b.seq_len, k);
 }
 
 // ---------------------------------------------------------------------------
@@ -374,6 +374,20 @@ void ibwa_sa_lookup(const uint32_t* interleaved, uint32_t primary,
                     uint32_t* out) {
   InterleavedBwt b{interleaved, primary, {l2[0], l2[1], l2[2], l2[3], l2[4]},
                    seq_len};
+  if (sa_intv && (sa_intv & (sa_intv - 1)) == 0) {
+    // power-of-two interval (bwa writes 32): mask instead of a div per step
+    const uint32_t mask = sa_intv - 1;
+    const uint32_t shift = (uint32_t)__builtin_ctz(sa_intv);
+    for (uint32_t i = 0; i < n; ++i) {
+      uint32_t k = ks[i], add = 0;
+      while (k & mask) {
+        ++add;
+        k = inv_psi(b, k);
+      }
+      out[i] = add + sampled_sa[k >> shift];
+    }
+    return;
+  }
   for (uint32_t i = 0; i < n; ++i) {
     uint32_t k = ks[i], add = 0;
     while (k % sa_intv != 0) {

@@ -33,6 +33,8 @@
 #include <unordered_set>
 #include <vector>
 
+#include "lf_step.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -68,7 +70,7 @@ static inline uint32_t count_code_prefix64(uint64_t dw, int c, int nbases) {
   return (uint32_t)__builtin_popcountll(t);
 }
 
-static uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
+static inline uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
   if (k == 0xFFFFFFFFu) return 0;
   if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
   if (k >= b.primary) --k;
@@ -96,20 +98,31 @@ static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
   return (int)((word >> (((~k) & 0xF) << 1)) & 3u);
 }
 
-static uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
-  if (k == b.primary) return 0;
-  int c = (k < b.primary) ? bwt_code_at(b, k) : bwt_code_at(b, k - 1);
-  return b.l2[c] + occ1(b, k, c);
+static inline uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
+  return ibwa_lf::lf_step(b.data, b.primary, b.l2, b.seq_len, k);
 }
 
 struct SaIndex {
   InterleavedBwt bwt;
   uint32_t sa_intv;
+  uint32_t intv_shift;  // log2(sa_intv) when it is a power of two, else 0
   const uint32_t* sampled_sa;
 };
 
-static uint32_t sa_walk(const SaIndex& s, uint32_t k) {
+// The walks are compute-bound here (the BWT is L3-resident: interleaving
+// independent walks with prefetch measured a wash), so the win is per-step
+// cost: a power-of-two sa_intv (bwa writes 32) replaces the 32-bit div in
+// the loop test with a mask — ~26 cycles saved per LF step.
+static inline uint32_t sa_walk(const SaIndex& s, uint32_t k) {
   uint32_t add = 0;
+  if (s.intv_shift) {
+    const uint32_t mask = s.sa_intv - 1;
+    while (k & mask) {
+      ++add;
+      k = inv_psi(s.bwt, k);
+    }
+    return add + s.sampled_sa[k >> s.intv_shift];
+  }
   while (k % s.sa_intv != 0) {
     ++add;
     k = inv_psi(s.bwt, k);
@@ -1897,6 +1910,10 @@ void ibwa_pe_add_db(
   db.rev.bwt = InterleavedBwt{itl_rev, primary_rev,
                               {l2[0], l2[1], l2[2], l2[3], l2[4]}, seq_len};
   db.fwd.sa_intv = db.rev.sa_intv = sa_intv;
+  uint32_t shift = 0;
+  if (sa_intv && (sa_intv & (sa_intv - 1)) == 0)
+    shift = (uint32_t)__builtin_ctz(sa_intv);
+  db.fwd.intv_shift = db.rev.intv_shift = shift;
   db.fwd.sampled_sa = sa_fwd;
   db.rev.sampled_sa = sa_rev;
   db.seq_len = seq_len;
