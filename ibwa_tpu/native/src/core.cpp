@@ -212,6 +212,13 @@ static inline uint32_t occ_packed4_prefix(uint32_t w, uint32_t nb) {
   return occ_packed4(w) - (16 - nb);
 }
 
+// packed counts of the LAST ns (1..15) bases of a word (zeroed prefix
+// fields count as channel 0 and are subtracted)
+static inline uint32_t occ_packed4_suffix(uint32_t w, uint32_t ns) {
+  w &= (1u << (2 * ns)) - 1u;
+  return occ_packed4(w) - (16 - ns);
+}
+
 struct InterleavedBwt {
   const uint32_t* data;
   uint32_t primary;
@@ -246,13 +253,32 @@ static inline uint32_t occ1_scan(const uint32_t* w, int c, uint32_t nb) {
   return n;
 }
 
+// single-channel in-block scan of the LAST `ns` (1..127) bases — for
+// backward counts from the next block's checkpoint
+static inline uint32_t occ1_scan_suffix(const uint32_t* w, int c,
+                                        uint32_t ns) {
+  uint32_t n = 0, j = 7;
+  while (ns >= 32) {
+    n += ibwa_lf::cnt_suffix64(((uint64_t)w[j - 1] << 32) | w[j], c, 32);
+    j -= 2;
+    ns -= 32;
+  }
+  if (ns)
+    n += ibwa_lf::cnt_suffix64(((uint64_t)w[j - 1] << 32) | w[j], c, (int)ns);
+  return n;
+}
+
 static uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
   // #\{i <= k : B0[i] == c\}; k == 0xFFFFFFFF means "before the start"
   if (k == 0xFFFFFFFFu) return 0;
   if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
   if (k >= b.primary) --k;  // the sentinel is not stored
   const uint32_t* blk = b.data + (k / 128) * 12;
-  return blk[c] + occ1_scan(blk + 4, c, (k % 128) + 1);
+  uint32_t nb = (k % 128) + 1;
+  if (nb > 64 && (k / 128) * 128 + 128 < b.seq_len)
+    // upper half: count backward from the next block's checkpoint
+    return blk[12 + c] - occ1_scan_suffix(blk + 4, c, 128 - nb);
+  return blk[c] + occ1_scan(blk + 4, c, nb);
 }
 
 // paired occ1 at (k, l) sharing the block scan when both land in one
@@ -270,9 +296,16 @@ static inline void occ1_pair(const InterleavedBwt& b, uint32_t k, uint32_t l,
   }
   const uint32_t* blk = b.data + (k2 / 128) * 12;
   const uint32_t* w = blk + 4;
+  uint32_t nbk = (k2 % 128) + 1, nbl = (l2 % 128) + 1;
+  if (nbk > 64 && (k2 / 128) * 128 + 128 < b.seq_len) {
+    // both offsets in the upper half (l >= k): backward scans
+    *ok = blk[12 + c] - occ1_scan_suffix(w, c, 128 - nbk);
+    *ol = blk[12 + c] - occ1_scan_suffix(w, c, 128 - nbl);
+    return;
+  }
   // one row fetch, two 64-bit-chunk scans (the row stays in L1)
-  *ok = blk[c] + occ1_scan(w, c, (k2 % 128) + 1);
-  *ol = blk[c] + occ1_scan(w, c, (l2 % 128) + 1);
+  *ok = blk[c] + occ1_scan(w, c, nbk);
+  *ol = blk[c] + occ1_scan(w, c, nbl);
 }
 
 static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
@@ -1040,6 +1073,15 @@ static inline void occ4_at(const InterleavedBwt& b, uint32_t k,
   const uint32_t* blk = b.data + (k / 128) * 12;
   const uint32_t* w = blk + 4;
   uint32_t full = (k % 128) / 16;
+  if (full >= 4 && (k / 128) * 128 + 128 < b.seq_len) {
+    // upper half: count backward from the next block's checkpoint
+    uint32_t x = 0;
+    for (uint32_t j = full + 1; j < 8; ++j) x += occ_packed4(w[j]);
+    uint32_t ns = 15 - (k % 16);
+    if (ns) x += occ_packed4_suffix(w[full], ns);
+    for (int c = 0; c < 4; ++c) cnt[c] = blk[12 + c] - ((x >> (8 * c)) & 0xff);
+    return;
+  }
   uint32_t x = 0;
   for (uint32_t j = 0; j < full; ++j) x += occ_packed4(w[j]);
   x += occ_packed4_prefix(w[full], (k % 16) + 1);
@@ -1062,6 +1104,21 @@ static inline void occ2x4_at(const InterleavedBwt& b, uint32_t k, uint32_t l,
   const uint32_t* blk = b.data + (k2 / 128) * 12;
   const uint32_t* w = blk + 4;
   uint32_t fw_k = (k2 % 128) / 16, fw_l = (l2 % 128) / 16;
+  if (fw_k >= 4 && (k2 / 128) * 128 + 128 < b.seq_len) {
+    // both in the upper half (l2 >= k2): shared backward scan
+    uint32_t x = 0, j = 7;
+    for (; j > fw_l; --j) x += occ_packed4(w[j]);
+    uint32_t nsl = 15 - (l2 % 16);
+    uint32_t xl = x + (nsl ? occ_packed4_suffix(w[fw_l], nsl) : 0);
+    for (; j > fw_k; --j) x += occ_packed4(w[j]);
+    uint32_t nsk = 15 - (k2 % 16);
+    uint32_t xk = x + (nsk ? occ_packed4_suffix(w[fw_k], nsk) : 0);
+    for (int c = 0; c < 4; ++c) {
+      cnt_k[c] = blk[12 + c] - ((xk >> (8 * c)) & 0xff);
+      cnt_l[c] = blk[12 + c] - ((xl >> (8 * c)) & 0xff);
+    }
+    return;
+  }
   uint32_t x = 0, j = 0;
   for (; j < fw_k; ++j) x += occ_packed4(w[j]);
   uint32_t xk = x + occ_packed4_prefix(w[fw_k], (k2 % 16) + 1);
