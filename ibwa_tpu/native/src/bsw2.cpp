@@ -72,6 +72,13 @@ static inline uint32_t occ_aux4_partial(uint32_t w, uint32_t nb) {
   return occ_aux4(w) - (16 - nb);
 }
 
+// packed counts of the LAST ns (1..15) bases of a word (the zeroed
+// prefix fields count as channel 0 and are subtracted)
+static inline uint32_t occ_aux4_suffix(uint32_t w, uint32_t ns) {
+  w &= (1u << (2 * ns)) - 1u;
+  return occ_aux4(w) - (16 - ns);
+}
+
 static void fm_occ4(const Itl& b, uint32_t k, int64_t out[4]) {
   if (k == 0xFFFFFFFFu) {
     out[0] = out[1] = out[2] = out[3] = 0;
@@ -86,6 +93,16 @@ static void fm_occ4(const Itl& b, uint32_t k, int64_t out[4]) {
   const uint32_t* w = blk + 4;
   uint32_t base0 = (k / 128) * 128;
   uint32_t full_words = (k - base0) / 16;
+  if (full_words >= 4 && base0 + 128 < b.seq_len) {
+    // upper half: count backward from the next block's checkpoint
+    uint32_t x = 0;
+    for (uint32_t j = full_words + 1; j < 8; ++j) x += occ_aux4(w[j]);
+    uint32_t ns = 15 - (uint32_t)(k % 16);
+    if (ns) x += occ_aux4_suffix(w[full_words], ns);
+    for (int c = 0; c < 4; ++c)
+      out[c] = blk[12 + c] - (int64_t)((x >> (8 * c)) & 0xff);
+    return;
+  }
   uint32_t x = 0;
   for (uint32_t j = 0; j < full_words; ++j) x += occ_aux4(w[j]);
   x += occ_aux4_partial(w[full_words], (uint32_t)(k % 16) + 1);
@@ -110,6 +127,21 @@ static void fm_2occ4(const Itl& b, uint32_t k, uint32_t l, int64_t ck[4],
   const uint32_t* w = blk + 4;
   uint32_t base0 = (k2 / 128) * 128;
   uint32_t fw_k = (k2 - base0) / 16, fw_l = (l2 - base0) / 16;
+  if (fw_k >= 4 && base0 + 128 < b.seq_len) {
+    // both in the upper half (l2 >= k2): shared backward scan
+    uint32_t x = 0, j = 7;
+    for (; j > fw_l; --j) x += occ_aux4(w[j]);
+    uint32_t nsl = 15 - (l2 % 16);
+    uint32_t xl = x + (nsl ? occ_aux4_suffix(w[fw_l], nsl) : 0);
+    for (; j > fw_k; --j) x += occ_aux4(w[j]);
+    uint32_t nsk = 15 - (k2 % 16);
+    uint32_t xk = x + (nsk ? occ_aux4_suffix(w[fw_k], nsk) : 0);
+    for (int c = 0; c < 4; ++c) {
+      ck[c] = blk[12 + c] - (int64_t)((xk >> (8 * c)) & 0xff);
+      cl[c] = blk[12 + c] - (int64_t)((xl >> (8 * c)) & 0xff);
+    }
+    return;
+  }
   uint32_t x = 0, j = 0;
   for (; j < fw_k; ++j) x += occ_aux4(w[j]);
   uint32_t xk = x + occ_aux4_partial(w[fw_k], (k2 % 16) + 1);
@@ -147,10 +179,23 @@ static uint32_t fm_occ1(const Itl& b, uint32_t k, int c) {
   if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
   if (k >= b.primary) --k;
   const uint32_t* blk = b.data + (k / 128) * 12;
-  uint32_t n = blk[c];
   const uint32_t* w = blk + 4;
-  uint32_t off = k % 128;
-  uint32_t nb = off + 1;
+  uint32_t nb = (k % 128) + 1;
+  if (nb > 64 && (k / 128) * 128 + 128 < b.seq_len) {
+    // upper half: count backward from the next block's checkpoint
+    uint32_t n = blk[12 + c];
+    uint32_t ns = 128 - nb, j = 7;
+    while (ns >= 32) {
+      n -= ibwa_lf::cnt_suffix64(((uint64_t)w[j - 1] << 32) | w[j], c, 32);
+      j -= 2;
+      ns -= 32;
+    }
+    if (ns)
+      n -= ibwa_lf::cnt_suffix64(((uint64_t)w[j - 1] << 32) | w[j], c,
+                                 (int)ns);
+    return n;
+  }
+  uint32_t n = blk[c];
   uint32_t j = 0;
   while (nb >= 32) {
     n += count_code_prefix64(((uint64_t)w[j] << 32) | w[j + 1], c, 32);

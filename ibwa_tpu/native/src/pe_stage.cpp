@@ -48,56 +48,6 @@ struct InterleavedBwt {
   uint32_t seq_len;
 };
 
-static uint32_t count_code_prefix(uint32_t word, int c, int nbases) {
-  uint32_t t = word ^ (0x55555555u * (uint32_t)c);
-  t = ~t;
-  t &= t >> 1;
-  t &= 0x55555555u;
-  if (nbases < 16) t &= ~((1u << ((16 - nbases) * 2)) - 1u);
-  return (uint32_t)__builtin_popcount(t);
-}
-
-
-// counts code c among the TOP nbases (1..32) 2-bit fields of
-// dw = (w_hi << 32) | w_lo (w_hi holds the earlier positions) — the
-// reference processes 32 bases per popcount this way (bwt.c __occ_aux)
-static inline uint32_t count_code_prefix64(uint64_t dw, int c, int nbases) {
-  uint64_t t = dw ^ (0x5555555555555555ULL * (uint64_t)c);
-  t = ~t;
-  t &= t >> 1;
-  t &= 0x5555555555555555ULL;
-  if (nbases < 32) t &= ~((1ULL << ((32 - nbases) * 2)) - 1ULL);
-  return (uint32_t)__builtin_popcountll(t);
-}
-
-static inline uint32_t occ1(const InterleavedBwt& b, uint32_t k, int c) {
-  if (k == 0xFFFFFFFFu) return 0;
-  if (k == b.seq_len) return b.l2[c + 1] - b.l2[c];
-  if (k >= b.primary) --k;
-  const uint32_t* blk = b.data + (k / 128) * 12;
-  uint32_t n = blk[c];
-  const uint32_t* w = blk + 4;
-  uint32_t off = k % 128;
-  uint32_t nb = off + 1;
-  uint32_t j = 0;
-  while (nb >= 32) {
-    n += count_code_prefix64(((uint64_t)w[j] << 32) | w[j + 1], c, 32);
-    j += 2;
-    nb -= 32;
-  }
-  if (nb > 16)
-    n += count_code_prefix64(((uint64_t)w[j] << 32) | w[j + 1], c, (int)nb);
-  else if (nb)
-    n += count_code_prefix(w[j], c, (int)nb);
-  return n;
-}
-
-static inline int bwt_code_at(const InterleavedBwt& b, uint32_t k) {
-  const uint32_t* blk = b.data + (k / 128) * 12 + 4;
-  uint32_t word = blk[(k % 128) / 16];
-  return (int)((word >> (((~k) & 0xF) << 1)) & 3u);
-}
-
 static inline uint32_t inv_psi(const InterleavedBwt& b, uint32_t k) {
   return ibwa_lf::lf_step(b.data, b.primary, b.l2, b.seq_len, k);
 }
