@@ -1,96 +1,91 @@
-"""Sweep persistent-lane count (DEV_BATCH) for the aln device engine.
+"""Sweep persistent-lane count (DEV_BATCH) x PERSIST_N for the device
+engine, one FRESH PROCESS per config (in-process A/B of compiled
+variants is invalid on axon: resident executables slow each other
+~25%).
 
-Times the device dispatch only (hits decode + native fallback excluded)
-on the bench workload (.bench genome + reads).  Usage:
+Each child times the end-to-end device-only align_batch
+(IBWA_HOST_FRAC=0) on the rep1 bench corpus, best of 3 after a warm-up
+pass, and prints one JSON line; the parent collects them into
+.bench/sweep_lanes.json.
 
-    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sweep_lanes.py 1024 2048 4096 8192
+Usage:  python scripts/sweep_lanes.py                 # default grid
+        python scripts/sweep_lanes.py --child 2048 4096   # one config
 """
 
 from __future__ import annotations
 
-import dataclasses
+import json
+import os
+import pathlib
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+REPO = pathlib.Path(__file__).resolve().parent.parent
+FA = str(REPO / ".bench" / "genome_rep1.fa")
+FQ = str(REPO / ".bench" / "reads_rep1.fq")
 
-from ibwa_tpu.align import engine_jax
-from ibwa_tpu.align.opts import GapOpt, cal_maxdiff
-from ibwa_tpu.fm.fmindex import FmIndex
-from ibwa_tpu.index.builder import load_index
-from ibwa_tpu.io.reads import load_reads
-
-FA = "/root/repo/.bench/genome.fa"
-FQ = "/root/repo/.bench/reads.fq"
+# (DEV_BATCH, PERSIST_N): more lanes amortize the per-step serial gather
+# latency over more reads — the round-2 wall was latency, not bandwidth
+GRID = [(1024, 2048), (2048, 4096), (4096, 8192), (8192, 16384)]
 
 
-def prep():
+def child(dev_batch: int, persist_n: int) -> None:
+    sys.path.insert(0, str(REPO))
+    from ibwa_tpu.align import engine_jax
+    from ibwa_tpu.align.opts import GapOpt
+    from ibwa_tpu.fm.fmindex import FmIndex
+    from ibwa_tpu.index.builder import load_index
+    from ibwa_tpu.io.reads import load_reads
+
+    engine_jax.DEV_BATCH = dev_batch
+    engine_jax.PERSIST_N = persist_n
     fms = (FmIndex(load_index(FA, 0)), FmIndex(load_index(FA, 1)))
     reads = load_reads(FQ)
     seqs = [r.seq for r in reads]
     rseqs = [r.rseq for r in reads]
     opt = GapOpt()
     eng = engine_jax.JaxAlnEngine(fms)
-
-    n_reads = len(seqs)
-    max_len = max(len(s) for s in seqs)
-    batch_opt = dataclasses.replace(opt)
-    batch_opt.max_diff = cal_maxdiff(max_len, thres=opt.fnr)
-    lens = np.array([len(s) for s in seqs], dtype=np.int32)
-    md = np.array([cal_maxdiff(int(n), thres=opt.fnr) for n in lens],
-                  dtype=np.int32)
-    L = int(max(8, (max_len + 7) // 8 * 8))
-    cfg = eng._config(L, int(md.max()), batch_opt)
-    SL = cfg.SL
-    PB = 1024
-    while PB < n_reads:
-        PB *= 2
-    sq = np.full((PB, 2, L), 4, dtype=np.uint8)
-    ssq = np.full((PB, 2, SL), 4, dtype=np.uint8)
-    hs = np.zeros(PB, dtype=bool)
-    bad = np.ones(PB, dtype=bool)
-    p_lens = np.ones(PB, dtype=np.int32)
-    p_md = np.zeros(PB, dtype=np.int32)
-    p_lens[:n_reads] = lens
-    p_md[:n_reads] = md
-    for b in range(n_reads):
-        s, r = seqs[b], rseqs[b]
-        n = len(s)
-        sq[b, 0, :n] = s
-        sq[b, 1, :n] = r
-        if n > opt.seed_len:
-            hs[b] = True
-            ssq[b, 0] = s[n - SL:n]
-            ssq[b, 1] = r[n - SL:n]
-        bad[b] = int((s > 3).sum()) > int(md[b])
-    args = (jnp.asarray(sq), jnp.asarray(p_lens), jnp.asarray(p_md),
-            jnp.asarray(hs), jnp.asarray(ssq), jnp.asarray(bad))
-    return eng, cfg, args, n_reads
+    eng.host_frac = 0.0
+    eng.align_batch(seqs, rseqs, opt)  # compile + warm
+    best = 1e18
+    fb = 0
+    for _ in range(3):
+        f0 = eng.stats["fallback_reads"]
+        t0 = time.perf_counter()
+        eng.align_batch(seqs, rseqs, opt)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, fb = dt, eng.stats["fallback_reads"] - f0
+    print(json.dumps({
+        "dev_batch": dev_batch, "persist_n": persist_n,
+        "reads_per_s": round(len(seqs) / best, 1),
+        "seconds": round(best, 3), "fallback_reads": fb,
+    }))
 
 
-def main():
-    lanes = [int(x) for x in sys.argv[1:]] or [1024, 2048, 4096, 8192]
-    eng, cfg, args, n_reads = prep()
-    dfm = eng.dfm
-    for B in lanes:
-        f = lambda: engine_jax._run_search_persistent(
-            cfg, dfm.blocks, dfm.L2, dfm.l2diff, dfm.primary, *args,
-            seq_len=dfm.seq_len, n_blk=dfm.n_blk, n_lanes=B)
-        out = f()
-        jax.block_until_ready(out)
-        n_hits, fb, it = out[1], np.asarray(out[2]), int(out[3])
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = f()
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        nfb = int(fb.sum())
-        print(f"lanes={B:6d}  {n_reads/best:8.0f} reads/s  "
-              f"best={best:.3f}s  iters={it}  fb={nfb} "
-              f"({100.0*nfb/n_reads:.1f}%)", flush=True)
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
+    results = []
+    for dev_batch, persist_n in GRID:
+        r = subprocess.run(
+            [sys.executable, __file__, "--child", str(dev_batch),
+             str(persist_n)], env=env, capture_output=True, text=True)
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            rec = {"dev_batch": dev_batch, "persist_n": persist_n,
+                   "error": r.stderr[-300:]}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    out = REPO / ".bench" / "sweep_lanes.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
