@@ -54,6 +54,10 @@ def _probe_backend() -> None:
         env["IBWA_BENCH_PROBED"] = "cpu-fallback"
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = str(REPO)
+        # with no chip, the framework's CPU mode IS the native search;
+        # an explicit env share is fixed (no controller adaptation), so
+        # the headline measures that instead of jax-on-CPU emulation
+        env.setdefault("IBWA_HOST_FRAC", "1.0")
         os.execve(sys.executable, [sys.executable, __file__], env)
 WORK = REPO / ".bench"
 GENOME_TAG = "rep1"       # bump when the genome recipe changes

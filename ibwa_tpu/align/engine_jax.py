@@ -917,6 +917,10 @@ class JaxAlnEngine:
         import os
         self.host_frac = float(os.environ.get("IBWA_HOST_FRAC",
                                               HOST_FRAC_INIT))
+        # an explicit env override is a FIXED share (no adaptation):
+        # bench's cpu-fallback sets 1.0 so the headline measures the
+        # native CPU mode instead of the jax engine emulated on CPU
+        self._frac_fixed = "IBWA_HOST_FRAC" in os.environ
 
     def _config(self, L: int, max_diff_hi: int, opt: GapOpt) -> EngineConfig:
         return make_config(L, max_diff_hi, opt, seq_len=self.dfm.seq_len,
@@ -961,7 +965,10 @@ class JaxAlnEngine:
         # approaches device_rate + host_rate.  The fraction adapts
         # between batches to balance the two completion times.
         import time as _time
-        n_host = int(n_reads * self.host_frac) if n_reads > 2048 else 0
+        if self.host_frac >= 0.999:  # full-host mode (cpu-fallback bench)
+            n_host = n_reads
+        else:
+            n_host = int(n_reads * self.host_frac) if n_reads > 2048 else 0
         host_lo = n_reads - n_host
         host_jobs: list[tuple[int, int, object]] = []
         t_start = _time.perf_counter()
@@ -1103,7 +1110,8 @@ class JaxAlnEngine:
             res = fut.result()
             for i, h in enumerate(res):
                 out[lo + i] = h
-        if n_host and host_lo and self._host_busy > 0:
+        if (not self._frac_fixed) and n_host and host_lo \
+                and self._host_busy > 0:
             # rate-based balance: size the next batch's host share so the
             # background pool's total work (pre-split reads + overflow
             # fallback) just fits inside the device wall
