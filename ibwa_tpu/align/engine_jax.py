@@ -1161,18 +1161,29 @@ def native_align_batch(fms, seqs, rseqs, opt):
                    for s in seqs], dtype=np.int32)
     harr, hn = native.match_gap_batch(fms[0], fms[1], seqs, rseqs, md, sl,
                                       batch_opt)
+    # vectorized decode (same trick as the device path): unpack all hit
+    # fields in numpy, one tolist(), then build Hit objects — the per-
+    # read/per-hit Python loop was ~18 us/read, a visible tax on the
+    # hybrid's host share and the cpu-fallback headline
+    hn_arr = np.asarray(hn, dtype=np.int64)
+    okl = (hn_arr >= 0).tolist()
+    nh = np.maximum(hn_arr, 0)
+    valid = np.arange(harr.shape[1])[None, :] < nh[:, None]
+    vh = harr[valid]  # [T, 4] read-major, uint32
+    meta = vh[:, 0].astype(np.int64)
+    flat = np.stack(
+        [meta & 0xFF, (meta >> 8) & 0xFF, (meta >> 16) & 0xFF,
+         (meta >> 24) & 1, vh[:, 1].astype(np.int64),
+         vh[:, 2].astype(np.int64),
+         vh[:, 3].astype(np.int32).astype(np.int64)], axis=-1).tolist()
     out = []
-    for i in range(len(seqs)):
-        if hn[i] < 0:  # per-read hit capacity overflow: exact re-run
+    start = 0
+    for i, n in enumerate(nh.tolist()):
+        end = start + n
+        if okl[i]:
+            out.append([Hit(*c) for c in flat[start:end]])
+        else:  # per-read hit capacity overflow: exact re-run
             out.append(engine_ref.align_batch(
                 fms, [seqs[i]], [rseqs[i]], opt)[0])
-            continue
-        hits = []
-        for t in range(int(hn[i])):
-            meta = int(harr[i, t, 0])
-            hits.append(Hit(n_mm=meta & 0xFF, n_gapo=(meta >> 8) & 0xFF,
-                            n_gape=(meta >> 16) & 0xFF, a=(meta >> 24) & 1,
-                            k=int(harr[i, t, 1]), l=int(harr[i, t, 2]),
-                            score=int(np.int32(harr[i, t, 3]))))
-        out.append(hits)
+        start = end
     return out

@@ -103,6 +103,24 @@ def test_chunked_pipeline_parity(small_index, monkeypatch):
     assert got == ref
 
 
+def test_fixed_full_host_share(small_index, monkeypatch):
+    """An explicit IBWA_HOST_FRAC is a FIXED share: 1.0 routes the whole
+    batch (any size) to the native search, the controller must not adapt
+    it, and the hits must match the oracle (cpu-fallback bench mode)."""
+    fms, seq = small_index
+    opt = CASES["default"]
+    seqs, rseqs = _make_reads(seq)
+    ref = engine_ref.align_batch(fms, seqs, rseqs, opt)
+    monkeypatch.setenv("IBWA_HOST_FRAC", "1.0")
+    eng = engine_jax.JaxAlnEngine(fms)
+    assert eng._frac_fixed and eng.host_frac == 1.0
+    got = eng.align_batch(seqs, rseqs, opt)
+    assert got == ref
+    assert eng.host_frac == 1.0          # controller did not adapt
+    assert eng.stats["host_reads"] == len(seqs)
+    assert eng.stats["device_reads"] == 0
+
+
 def test_variable_lengths(small_index):
     fms, seq = small_index
     rng = random.Random(1)
