@@ -186,7 +186,13 @@ def build_bwt_index(codes: np.ndarray, sa_intv: int = formats.SA_INTERVAL
     l2 = np.zeros(5, dtype=np.uint64)
     l2[1:] = np.cumsum(np.bincount(codes, minlength=4))
     l2 = l2.astype(np.uint32)
-    bwt_codes, primary = native.bwt_inplace(codes)
+    sampled = None
+    if sa_intv and 0 < seq_len < (1 << 31) - 2:  # int32 SA-IS territory
+        # one SA-IS pass yields BWT + the sampled .sa directly (the
+        # reference walks isa over the whole genome instead, bwt.c:58-67)
+        bwt_codes, primary, sampled = native.bwt_with_sa(codes, sa_intv)
+    else:
+        bwt_codes, primary = native.bwt_inplace(codes)
     # pack BWT codes into words, code i at bits (15-(i&15))*2 of word i>>4
     n_words = (seq_len + 15) >> 4
     padded = np.zeros(n_words * 16, dtype=np.uint32)
@@ -200,7 +206,8 @@ def build_bwt_index(codes: np.ndarray, sa_intv: int = formats.SA_INTERVAL
                    interleaved=interleaved)
     if sa_intv:
         idx.sa_intv = sa_intv
-        idx.sa = native.cal_sa(interleaved, primary, l2, seq_len, sa_intv)
+        idx.sa = (sampled if sampled is not None else
+                  native.cal_sa(interleaved, primary, l2, seq_len, sa_intv))
     return idx
 
 
@@ -220,7 +227,12 @@ def build_bwt_index_packed(pac_bytes: np.ndarray, seq_len: int,
     """Bounded-memory FM-index build from a PACKED text (the >2 Gbp
     path; see native.bwt_packed).  reverse=True indexes the reversed
     text without materializing it (.rbwt/.rsa)."""
-    bwt_pac, primary = native.bwt_packed(pac_bytes, seq_len, reverse)
+    sampled = None
+    if sa_intv:
+        bwt_pac, primary, sampled = native.bwt_packed(
+            pac_bytes, seq_len, reverse, sa_intv=sa_intv)
+    else:
+        bwt_pac, primary = native.bwt_packed(pac_bytes, seq_len, reverse)
     # words straight from packed bytes: 4 pac bytes big-endian == one
     # u32 word in the reference layout (code i at bits (15-(i&15))*2)
     nb = len(bwt_pac)
@@ -238,7 +250,7 @@ def build_bwt_index_packed(pac_bytes: np.ndarray, seq_len: int,
                    interleaved=interleaved)
     if sa_intv:
         idx.sa_intv = sa_intv
-        idx.sa = native.cal_sa(interleaved, primary, l2, seq_len, sa_intv)
+        idx.sa = sampled
     return idx
 
 

@@ -90,6 +90,10 @@ def load() -> ctypes.CDLL:
         lib.ibwa_sais.restype = ctypes.c_int32
         lib.ibwa_bwt_inplace.argtypes = [u8p, ctypes.c_int32]
         lib.ibwa_bwt_inplace.restype = ctypes.c_int32
+        lib.ibwa_bwt_sa_inplace.argtypes = [u8p, ctypes.c_int32,
+                                            ctypes.c_uint32, u32p,
+                                            ctypes.c_uint32]
+        lib.ibwa_bwt_sa_inplace.restype = ctypes.c_int32
         lib.ibwa_bwt_inplace64.argtypes = [u8p, ctypes.c_int64]
         lib.ibwa_bwt_inplace64.restype = ctypes.c_int64
         lib.ibwa_cal_sa.argtypes = [u32p, ctypes.c_uint32, u32p,
@@ -199,15 +203,18 @@ def bwt_inplace(text: np.ndarray) -> tuple[np.ndarray, int]:
     return buf, int(primary)
 
 
-def bwt_packed(pac_bytes: np.ndarray, seq_len: int, reverse: bool = False
-               ) -> tuple[np.ndarray, int]:
+def bwt_packed(pac_bytes: np.ndarray, seq_len: int, reverse: bool = False,
+               sa_intv: int = 0):
     """Bounded-memory BWT of a 2-bit PACKED text (sais_frugal.cpp).
 
     Peak footprint ~ 4 bytes/base (the u32 suffix array) + n/8 type bits
     + the packed in/out buffers — ~13.5 GB for 3.2 Gbp, the reference's
     `index -a bwtsw` territory (bwa.1:450).  Returns (packed_bwt,
-    primary); output is byte-identical to the SA-IS path (the BWT is
-    unique)."""
+    primary), plus the sampled .sa when sa_intv > 0 (the suffix array is
+    in memory anyway: full-matrix row k has SA_full[k] = sa[k-1], file
+    stores rows k % intv == 0 with slot 0 = 0xFFFFFFFF, bwt.c:66 quirk —
+    skips the reference's whole-genome isa walk).  Output byte-identical
+    to the SA-IS path (the BWT is unique)."""
     lib = load()
     pac_bytes = np.ascontiguousarray(pac_bytes, dtype=np.uint8)
     sa = np.empty(seq_len, dtype=np.uint32)
@@ -218,8 +225,34 @@ def bwt_packed(pac_bytes: np.ndarray, seq_len: int, reverse: bool = False
         out.ctypes.data_as(u8), 1 if reverse else 0)
     if primary < 0:
         raise RuntimeError("ibwa_bwt_packed32 failed")
+    if sa_intv:
+        n_sa = (seq_len + sa_intv) // sa_intv
+        sampled = np.zeros(n_sa, dtype=np.uint32)
+        ks = np.arange(sa_intv, seq_len + 1, sa_intv, dtype=np.int64)
+        sampled[ks // sa_intv] = sa[ks - 1]
+        sampled[0] = 0xFFFFFFFF
+        del sa
+        return out, int(primary), sampled
     del sa
     return out, int(primary)
+
+
+def bwt_with_sa(text: np.ndarray, sa_intv: int
+                ) -> tuple[np.ndarray, int, np.ndarray]:
+    """BWT + sampled .sa in ONE SA-IS pass (<2 Gbp texts): the full
+    suffix array is in memory anyway, so the reference's whole-genome
+    isa walk (bwt_cal_sa) is skipped.  Returns (bwt, primary, sa)."""
+    lib = load()
+    buf = np.ascontiguousarray(text, dtype=np.uint8).copy()
+    n = len(buf)
+    n_sa = (n + sa_intv) // sa_intv
+    out_sa = np.empty(n_sa, dtype=np.uint32)
+    primary = lib.ibwa_bwt_sa_inplace(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, sa_intv,
+        _u32(out_sa), n_sa)
+    if primary < 0:
+        raise RuntimeError("ibwa_bwt_sa_inplace failed")
+    return buf, int(primary), out_sa
 
 
 def cal_sa(interleaved: np.ndarray, primary: int, l2: np.ndarray,

@@ -360,6 +360,37 @@ int32_t ibwa_bwt_inplace(uint8_t* text, int32_t n) {
   return primary;
 }
 
+// BWT (in place) + the sampled .sa in one SA-IS pass.  The reference
+// derives .sa by walking isa over the whole genome (bwt_cal_sa,
+// bwt.c:58-67) because it never holds a full suffix array; we do, so
+// sample it directly: full-matrix row k has SA_full[0] = n (sentinel)
+// and SA_full[k] = sa[k-1], and the file stores sa0[k/intv] = SA_full[k]
+// for k % intv == 0 with sa0[0] = (bwtint_t)-1 (bwt.c:66 quirk).
+// Byte-identical to the walk by construction.
+int32_t ibwa_bwt_sa_inplace(uint8_t* text, int32_t n, uint32_t intv,
+                            uint32_t* out_sa, uint32_t n_sa) {
+  if (n <= 0 || intv == 0) return -1;
+  std::vector<int32_t> sa(n);
+  sais_core<uint8_t, int32_t>(text, sa.data(), n, 4);
+  for (uint32_t i = 0; i < n_sa; ++i) out_sa[i] = 0;
+  for (int64_t k = intv; k <= (int64_t)n; k += intv)
+    out_sa[k / intv] = (uint32_t)sa[k - 1];
+  out_sa[0] = 0xFFFFFFFFu;
+  std::vector<uint8_t> bwt(n);
+  int32_t primary = 0;
+  bwt[0] = text[n - 1];
+  int32_t out = 1;
+  for (int32_t i = 0; i < n; ++i) {
+    if (sa[i] == 0) {
+      primary = i + 1;
+      continue;
+    }
+    bwt[out++] = text[sa[i] - 1];
+  }
+  std::memcpy(text, bwt.data(), n);
+  return primary;
+}
+
 // 64-bit in-place BWT for genomes whose suffix positions exceed int32
 // (the reference reaches these sizes via `index -a bwtsw`; the BWT is
 // unique so outputs agree byte-for-byte).
