@@ -64,7 +64,8 @@ GENOME_TAG = "rep1"       # bump when the genome recipe changes
 GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
 N_READS = 16384
 READ_LEN = 100
-N_PAIRS = 8192            # sampe stage benchmark
+N_PAIRS = 50_000          # sampe stage benchmark (100k reads: steady-state
+                          # throughput, not startup — VERDICT r3 weak #4)
 N_LONG = 1500             # bwasw stage benchmark
 
 
@@ -101,64 +102,84 @@ def make_genome(rng) -> str:
     return "".join(parts)[:GENOME_LEN]
 
 
+def _pair_paths() -> tuple[pathlib.Path, pathlib.Path]:
+    return (WORK / f"pairs_{GENOME_TAG}_{N_PAIRS}_1.fq",
+            WORK / f"pairs_{GENOME_TAG}_{N_PAIRS}_2.fq")
+
+
+def _read_genome(fa: pathlib.Path) -> str:
+    with open(fa) as f:
+        return "".join(line.strip() for line in f if not line.startswith(">"))
+
+
 def ensure_inputs() -> tuple[pathlib.Path, pathlib.Path]:
     WORK.mkdir(exist_ok=True)
     fa = WORK / f"genome_{GENOME_TAG}.fa"
     fq = WORK / f"reads_{GENOME_TAG}.fq"
-    if fa.exists() and fq.exists() and (str(fa) + ".bwt") and \
-            pathlib.Path(str(fa) + ".bwt").exists():
-        return fa, fq
-    rng = random.Random(20260816)
-    log(f"generating {GENOME_LEN/1e6:.0f} Mbp repeat-structured genome "
-        f"+ {N_READS} reads")
-    seq = make_genome(rng)
-    with open(fa, "w") as f:
-        f.write(">bench_chr\n")
-        for i in range(0, len(seq), 70):
-            f.write(seq[i:i + 70] + "\n")
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    with open(fq, "w") as f:
-        for i in range(N_READS):
-            pos = rng.randrange(0, GENOME_LEN - READ_LEN)
-            s = list(seq[pos:pos + READ_LEN])
-            for j in range(len(s)):
-                if rng.random() < 0.01:
-                    s[j] = rng.choice("ACGT")
-            if rng.random() < 0.5:
-                s = [comp[c] for c in reversed(s)]
-            f.write(f"@r{i}\n{''.join(s)}\n+\n{'I' * READ_LEN}\n")
-    # paired reads for the sampe benchmark
-    fq1 = WORK / f"pairs_{GENOME_TAG}_1.fq"
-    fq2 = WORK / f"pairs_{GENOME_TAG}_2.fq"
-    with open(fq1, "w") as f1, open(fq2, "w") as f2:
-        for i in range(N_PAIRS):
-            isz = max(2 * READ_LEN + 10, int(rng.gauss(320, 40)))
-            pos = rng.randrange(0, GENOME_LEN - isz)
-            frag = seq[pos:pos + isz]
-            a = list(frag[:READ_LEN])
-            b = [comp[c] for c in reversed(frag[-READ_LEN:])]
-            for arr in (a, b):
-                for j in range(len(arr)):
-                    if rng.random() < 0.01:
-                        arr[j] = rng.choice("ACGT")
-            f1.write(f"@p{i}\n{''.join(a)}\n+\n{'I' * READ_LEN}\n")
-            f2.write(f"@p{i}\n{''.join(b)}\n+\n{'I' * READ_LEN}\n")
-    # long reads for the bwasw benchmark
+    fq1, fq2 = _pair_paths()
     fql = WORK / f"long_{GENOME_TAG}.fq"
-    with open(fql, "w") as f:
-        for i in range(N_LONG):
-            ln = rng.randrange(400, 1000)
-            pos = rng.randrange(0, GENOME_LEN - ln)
-            s = list(seq[pos:pos + ln])
-            for j in range(len(s)):
-                if rng.random() < 0.02:
-                    s[j] = rng.choice("ACGT")
-            if rng.random() < 0.5:
-                s = [comp[c] for c in reversed(s)]
-            f.write(f"@L{i}\n{''.join(s)}\n+\n{'I' * len(s)}\n")
-    log("indexing (ours)")
-    from ibwa_tpu.index.builder import bwa_index
-    bwa_index(str(fa))
+    have_idx = (fa.exists() and fq.exists()
+                and pathlib.Path(str(fa) + ".bwt").exists())
+    if have_idx and fq1.exists() and fq2.exists() and fql.exists():
+        return fa, fq
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rng = random.Random(20260816)
+    if have_idx:
+        seq = _read_genome(fa)
+    else:
+        log(f"generating {GENOME_LEN/1e6:.0f} Mbp repeat-structured genome "
+            f"+ {N_READS} reads")
+        seq = make_genome(rng)
+        with open(fa, "w") as f:
+            f.write(">bench_chr\n")
+            for i in range(0, len(seq), 70):
+                f.write(seq[i:i + 70] + "\n")
+        with open(fq, "w") as f:
+            for i in range(N_READS):
+                pos = rng.randrange(0, GENOME_LEN - READ_LEN)
+                s = list(seq[pos:pos + READ_LEN])
+                for j in range(len(s)):
+                    if rng.random() < 0.01:
+                        s[j] = rng.choice("ACGT")
+                if rng.random() < 0.5:
+                    s = [comp[c] for c in reversed(s)]
+                f.write(f"@r{i}\n{''.join(s)}\n+\n{'I' * READ_LEN}\n")
+    # paired reads for the sampe benchmark (own RNG: genome gen may have
+    # been skipped, and the pair count is a bench knob)
+    if not (fq1.exists() and fq2.exists()):
+        log(f"generating {N_PAIRS} read pairs")
+        prng = random.Random(20260817)
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(N_PAIRS):
+                isz = max(2 * READ_LEN + 10, int(prng.gauss(320, 40)))
+                pos = prng.randrange(0, GENOME_LEN - isz)
+                frag = seq[pos:pos + isz]
+                a = list(frag[:READ_LEN])
+                b = [comp[c] for c in reversed(frag[-READ_LEN:])]
+                for arr in (a, b):
+                    for j in range(len(arr)):
+                        if prng.random() < 0.01:
+                            arr[j] = prng.choice("ACGT")
+                f1.write(f"@p{i}\n{''.join(a)}\n+\n{'I' * READ_LEN}\n")
+                f2.write(f"@p{i}\n{''.join(b)}\n+\n{'I' * READ_LEN}\n")
+    # long reads for the bwasw benchmark
+    if not fql.exists():
+        lrng = random.Random(20260818)
+        with open(fql, "w") as f:
+            for i in range(N_LONG):
+                ln = lrng.randrange(400, 1000)
+                pos = lrng.randrange(0, GENOME_LEN - ln)
+                s = list(seq[pos:pos + ln])
+                for j in range(len(s)):
+                    if lrng.random() < 0.02:
+                        s[j] = lrng.choice("ACGT")
+                if lrng.random() < 0.5:
+                    s = [comp[c] for c in reversed(s)]
+                f.write(f"@L{i}\n{''.join(s)}\n+\n{'I' * len(s)}\n")
+    if not pathlib.Path(str(fa) + ".bwt").exists():
+        log("indexing (ours)")
+        from ibwa_tpu.index.builder import bwa_index
+        bwa_index(str(fa))
     return fa, fq
 
 
@@ -206,22 +227,23 @@ def ref_prefix(fa: pathlib.Path, binary) -> pathlib.Path:
     return ref_fa
 
 
-def baseline_reads_per_s(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
-    cache = WORK / f"baseline_{GENOME_TAG}.json"
-    if cache.exists():
-        return json.loads(cache.read_text())["reads_per_s"]
+def time_reference_aln(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
+    """ONE fresh timed run of the reference aln (1 thread).  Called
+    interleaved with our timed runs so both sides see the same machine
+    conditions (VERDICT r3 weak #2: never compare a fresh measurement
+    against a cached round-old one)."""
     binary = build_oracle()
     if binary is None:
         return None
     rfa = ref_prefix(fa, binary)
-    log("timing reference aln (1 thread)")
     t0 = time.perf_counter()
     subprocess.run([str(binary), "aln", "-t", "1", str(rfa), str(fq)],
                    check=True, capture_output=True)
     dt = time.perf_counter() - t0
-    rps = N_READS / dt
-    cache.write_text(json.dumps({"reads_per_s": rps, "seconds": dt}))
-    return rps
+    cache = WORK / f"baseline_{GENOME_TAG}.json"
+    cache.write_text(json.dumps({"reads_per_s": N_READS / dt,
+                                 "seconds": dt}))
+    return N_READS / dt
 
 
 def bench_stages(fa: pathlib.Path, extra: dict) -> None:
@@ -233,11 +255,10 @@ def bench_stages(fa: pathlib.Path, extra: dict) -> None:
     if not binary.exists():
         return
     rfa = ref_prefix(fa, binary)
-    fq1 = WORK / f"pairs_{GENOME_TAG}_1.fq"
-    fq2 = WORK / f"pairs_{GENOME_TAG}_2.fq"
+    fq1, fq2 = _pair_paths()
     fql = WORK / f"long_{GENOME_TAG}.fq"
-    s1 = WORK / f"pairs_{GENOME_TAG}_1.sai"
-    s2 = WORK / f"pairs_{GENOME_TAG}_2.sai"
+    s1 = pathlib.Path(str(fq1).removesuffix(".fq") + ".sai")
+    s2 = pathlib.Path(str(fq2).removesuffix(".fq") + ".sai")
     from ibwa_tpu.align.opts import GapOpt
     from ibwa_tpu.align.pipeline import aln_to_stream
     if not s1.exists() or not s2.exists():
@@ -294,7 +315,7 @@ def main() -> None:
     _probe_backend()
     fa, fq = ensure_inputs()
 
-    from ibwa_tpu.align.engine_jax import (ACAP, HCAP, JaxAlnEngine)
+    from ibwa_tpu.align.engine_jax import ACAP, JaxAlnEngine
     from ibwa_tpu.align.opts import GapOpt
     from ibwa_tpu.fm.fmindex import FmIndex
     from ibwa_tpu.index.builder import load_index
@@ -308,6 +329,8 @@ def main() -> None:
     rseqs = [r.rseq for r in reads]
     eng = JaxAlnEngine(fms)
 
+    cpu_fallback = os.environ.get("IBWA_BENCH_PROBED") == "cpu-fallback"
+
     log("warmup/compile (first compile of a new config takes minutes; "
         "cached in .jaxcache afterwards)")
     # warm the exact dispatch bucket the timed run uses (shapes are
@@ -315,60 +338,91 @@ def main() -> None:
     eng.align_batch(seqs, rseqs, opt)
     eng.align_batch(seqs, rseqs, opt)
 
-    log(f"timing {len(seqs)} reads")
-    t0 = time.perf_counter()
-    eng.stats["iterations"] = 0
-    eng.align_batch(seqs, rseqs, opt)
-    dt = time.perf_counter() - t0
-    rps = len(seqs) / dt
-    log(f"ours: {rps:.0f} reads/s ({dt:.2f}s), stats={eng.stats}")
+    # interleaved fresh A/B: ours / reference / ours / reference, best of
+    # each — both sides timed this session under the same conditions
+    rps_runs, base_runs, steps_runs, dt_runs = [], [], [], []
+    for rep in range(2):
+        log(f"timing {len(seqs)} reads (run {rep + 1}/2)")
+        it0 = eng.stats["iterations"]
+        t0 = time.perf_counter()
+        eng.align_batch(seqs, rseqs, opt)
+        dt = time.perf_counter() - t0
+        rps_runs.append(len(seqs) / dt)
+        dt_runs.append(dt)
+        steps_runs.append(eng.stats["iterations"] - it0)
+        log(f"ours: {rps_runs[-1]:.0f} reads/s ({dt:.2f}s), "
+            f"stats={eng.stats}")
+        log("timing reference aln (1 thread, interleaved)")
+        b = time_reference_aln(fa, fq)
+        if b:
+            base_runs.append(b)
+            log(f"reference: {b:.0f} reads/s")
+    pick = max(range(2), key=lambda i: rps_runs[i])
+    rps, dt, steps = rps_runs[pick], dt_runs[pick], steps_runs[pick]
+    base = max(base_runs) if base_runs else None
 
-    # honest chip-only number: same batch with the host co-processing
-    # share forced to zero (capacity-overflow reads still fall back to
-    # the host, mirroring production; their count is reported)
-    log("timing device-only (host share = 0)")
-    saved_frac = eng.host_frac
-    eng.host_frac = 0.0
-    fb0 = eng.stats["fallback_reads"]
-    t0 = time.perf_counter()
-    eng.align_batch(seqs, rseqs, opt)
-    dt_dev = time.perf_counter() - t0
-    dev_rps = len(seqs) / dt_dev
-    dev_fb = eng.stats["fallback_reads"] - fb0
-    eng.host_frac = saved_frac
-    log(f"device-only: {dev_rps:.0f} reads/s ({dt_dev:.2f}s, "
-        f"{dev_fb} overflow-fallback reads on host)")
-
-    # modeled HBM traffic of the device search (per step: 5 stack planes
-    # in+out through the Pallas kernel + width/meta planes + occ gathers)
-    # vs the v5e's ~819 GB/s — the roofline analog for this gather-bound,
-    # MXU-free workload
-    steps = eng.stats["iterations"]
-    B, L = 1024, 104
-    step_bytes = (5 * B * ACAP * 4 * 2          # stack planes (r+w)
-                  + 3 * B * 2 * (L + 34) * 4 * 2  # w/bid/meta planes
-                  + B * 2 * (48 + 2 * 128)      # occ4 + 2 dimer occ2 rows
-                  + B * 3 * HCAP * 0)           # hit scatters (sparse)
-    hbm_gbs = step_bytes * steps / dt / 1e9
     extra = {
-        "device_only_reads_per_s": round(dev_rps, 1),
-        "device_only_fallback_reads": dev_fb,
         "device_reads": eng.stats["device_reads"],
         "fallback_reads": eng.stats["fallback_reads"],
         "host_reads": eng.stats["host_reads"],
         "host_frac": eng.stats.get("host_frac"),
-        "modeled_device_hbm_GBps": round(hbm_gbs, 1),
-        "modeled_hbm_utilization": round(hbm_gbs / 819.0, 4),
+        "hybrid_steps": steps,
     }
-    log(f"modeled device HBM traffic {hbm_gbs:.0f} GB/s "
-        f"({100*hbm_gbs/819:.1f}% of v5e peak) over {steps} steps")
 
-    base = baseline_reads_per_s(fa, fq)
+    if cpu_fallback:
+        # no chip this session: device-only timing and the HBM model
+        # would measure jax-on-CPU emulation — noise sold under a chip
+        # metric name (VERDICT r3 weak #1).  Say "unmeasured" instead.
+        extra["device"] = "unmeasured"
+        log("device: unmeasured (axon tunnel down; headline is the "
+            "native host engine)")
+    else:
+        # honest chip-only number: same batch with the host co-processing
+        # share forced to zero (capacity-overflow reads still fall back to
+        # the host, mirroring production; their count is reported)
+        log("timing device-only (host share = 0)")
+        saved_frac = eng.host_frac
+        eng.host_frac = 0.0
+        fb0 = eng.stats["fallback_reads"]
+        it0 = eng.stats["iterations"]
+        t0 = time.perf_counter()
+        eng.align_batch(seqs, rseqs, opt)
+        dt_dev = time.perf_counter() - t0
+        dev_rps = len(seqs) / dt_dev
+        dev_fb = eng.stats["fallback_reads"] - fb0
+        dev_steps = eng.stats["iterations"] - it0
+        eng.host_frac = saved_frac
+        log(f"device-only: {dev_rps:.0f} reads/s ({dt_dev:.2f}s, "
+            f"{dev_fb} overflow-fallback reads on host)")
+
+        # modeled HBM traffic of the device search (per step: 5 stack
+        # planes in+out through the Pallas kernel + width/meta planes +
+        # occ gathers) vs the v5e's ~819 GB/s — the roofline analog for
+        # this gather-bound, MXU-free workload.  Uses the device-only
+        # run's own step count over its own wall (VERDICT r3 weak #3:
+        # never divide one run's steps by another run's dt).
+        B, L = 1024, 104
+        step_bytes = (5 * B * ACAP * 4 * 2          # stack planes (r+w)
+                      + 3 * B * 2 * (L + 34) * 4 * 2  # w/bid/meta planes
+                      + B * 2 * (48 + 2 * 128))     # occ4 + 2 dimer rows
+        hbm_gbs = step_bytes * dev_steps / dt_dev / 1e9
+        extra.update({
+            "device_only_reads_per_s": round(dev_rps, 1),
+            "device_only_fallback_reads": dev_fb,
+            "device_only_steps": dev_steps,
+            "modeled_device_hbm_GBps": round(hbm_gbs, 1),
+            "modeled_hbm_utilization": round(hbm_gbs / 819.0, 4),
+        })
+        log(f"modeled device HBM traffic {hbm_gbs:.0f} GB/s "
+            f"({100*hbm_gbs/819:.1f}% of v5e peak) over {dev_steps} steps")
+        if base:
+            extra["device_only_vs_ref"] = round(dev_rps / base, 3)
+
     vs = rps / base if base else None
     if base:
-        extra["device_only_vs_ref"] = round(dev_rps / base, 3)
-        log(f"reference 1-core: {base:.0f} reads/s -> {vs:.2f}x hybrid, "
-            f"{dev_rps/base:.2f}x device-only")
+        log(f"reference 1-core: {base:.0f} reads/s -> {vs:.2f}x hybrid"
+            + (f", {extra['device_only_vs_ref']:.2f}x device-only"
+               if "device_only_vs_ref" in extra else ""))
 
     try:
         bench_stages(fa, extra)
