@@ -153,6 +153,10 @@ struct PeCtx {
   // (db, strand, k, l) for intervals >= MIN_HASH_WIDTH.
   std::unordered_map<uint64_t, std::vector<uint32_t>> sa_cache[16][2];
   size_t cache_vals = 0;
+  // set once ibwa_pe_prefill_walks has run (device-resolved walks):
+  // cached_walk then consults the cache for EVERY width, not just wide
+  // intervals — narrow prefilled entries must hit.
+  bool prefilled = false;
 };
 
 // The reference caches >=1000-wide intervals (filter_alignments.cpp:10)
@@ -172,7 +176,7 @@ static const std::vector<uint32_t>& cached_walk(PeCtx& ctx, int dbidx,
   const PeDb& db = ctx.dbs[dbidx];
   const SaIndex& idx = strand ? db.fwd : db.rev;
   int64_t width = (int64_t)l - k + 1;
-  if (width < MIN_HASH_WIDTH) {
+  if (width < MIN_HASH_WIDTH && !ctx.prefilled) {
     tmp.clear();
     tmp.reserve(width);
     for (uint32_t s = k; s <= l; ++s) tmp.push_back(sa_walk(idx, s));
@@ -182,6 +186,12 @@ static const std::vector<uint32_t>& cached_walk(PeCtx& ctx, int dbidx,
   auto& slot = ctx.sa_cache[dbidx][strand];
   auto it = slot.find(key);
   if (it != slot.end()) return it->second;
+  if (width < MIN_HASH_WIDTH) {  // prefill miss on a narrow interval
+    tmp.clear();
+    tmp.reserve(width);
+    for (uint32_t s = k; s <= l; ++s) tmp.push_back(sa_walk(idx, s));
+    return tmp;
+  }
   std::vector<uint32_t> v;
   v.reserve(width);
   for (uint32_t s = k; s <= l; ++s) v.push_back(sa_walk(idx, s));
@@ -2345,6 +2355,52 @@ int64_t ibwa_sai_scan(const uint8_t* blob, int64_t blob_len, int64_t n_reads,
     off += (int64_t)n * 16;
   }
   return off;
+}
+
+// Prefill the SA-interval walk cache with device-resolved values: for
+// each interval i, vals[off[i]..off[i+1]) are the raw sa_walk values for
+// rows ks[i]..ls[i] of (dbidx, strand) — computed by the TPU LF-walk
+// engine (ibwa_tpu/fm/walk.py), bit-equal to the host walks.  After the
+// first prefill, cached_walk consults the cache for every width.
+void ibwa_pe_prefill_walks(void* pctx, int32_t dbidx, int32_t strand,
+                           int64_t n_intervals, const uint32_t* ks,
+                           const uint32_t* ls, const int64_t* off,
+                           const uint32_t* vals) {
+  PeCtx& ctx = *(PeCtx*)pctx;
+  auto& slot = ctx.sa_cache[dbidx][strand];
+  for (int64_t i = 0; i < n_intervals; ++i) {
+    int64_t w = off[i + 1] - off[i];
+    if (w <= 0 || ctx.cache_vals + (size_t)w > CACHE_MAX_VALS) continue;
+    uint64_t key = ((uint64_t)ks[i] << 32) | ls[i];
+    auto r = slot.emplace(key, std::vector<uint32_t>());
+    if (!r.second) continue;  // already cached
+    r.first->second.assign(vals + off[i], vals + off[i + 1]);
+    ctx.cache_vals += (size_t)w;
+  }
+  ctx.prefilled = true;
+}
+
+// Interleave two per-file blob sets into end-read order (r0/file0,
+// r0/file1, r1/file0, ...) for [start, start+n): the sampe emit path's
+// input contract.  Writes 2n+1 offsets and the gathered bytes.  The
+// equivalent numpy repeat+fancy-index gather cost ~1.1 s per 50k-pair
+// batch; this is ~200k short memcpys.
+void ibwa_interleave_blobs(const uint8_t* blob0, const int64_t* off0,
+                           const uint8_t* blob1, const int64_t* off1,
+                           int64_t start, int64_t n,
+                           uint8_t* out_blob, int64_t* out_off) {
+  int64_t w = 0;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t a = off0[start + i], b = off0[start + i + 1];
+    std::memcpy(out_blob + w, blob0 + a, (size_t)(b - a));
+    w += b - a;
+    out_off[2 * i + 1] = w;
+    a = off1[start + i]; b = off1[start + i + 1];
+    std::memcpy(out_blob + w, blob1 + a, (size_t)(b - a));
+    w += b - a;
+    out_off[2 * i + 2] = w;
+  }
 }
 
 }  // extern "C"

@@ -61,6 +61,17 @@ class BwtDb:
         l_pac = (size - 2) * 4 + int(raw[-1])
         return raw[:(l_pac + 3) // 4]
 
+    def pac_window(self, pos: int, take: int) -> np.ndarray:
+        """Unpack codes for [pos, pos+take) straight from the packed
+        memmap (base 0 in the high bits, see formats.pack_bases) —
+        extract_sequence callers want ~100-600 bp windows, for which
+        load_pac's whole-genome unpack was ~0.2 s + 1 byte/base RSS."""
+        if self.pac is not None:    # already unpacked by another caller
+            return self.pac[pos:pos + take]
+        raw = self.load_pac_packed()
+        idx = np.arange(pos, pos + take, dtype=np.int64)
+        return (raw[idx >> 2] >> ((3 - (idx & 3)) * 2).astype(np.uint8)) & 3
+
     def sa2seq(self, strand: int, sa: np.ndarray, seq_len) -> np.ndarray:
         """Batched bwtdb_sa2seq (dbset.c:239-246): SA index -> global pos.
 
@@ -171,10 +182,14 @@ class DbSet:
                 break
             idx = self.coord2idx(beg)
             db = self.dbs[idx]
-            pac = db.load_ntpac() if nt else db.load_pac()
             pos = beg - db.offset
-            take = min(length - total, len(pac) - pos)
-            out[total:total + take] = pac[pos:pos + take]
+            if nt:
+                pac = db.load_ntpac()
+                take = min(length - total, len(pac) - pos)
+                out[total:total + take] = pac[pos:pos + take]
+            else:
+                take = min(length - total, db.bns.l_pac - pos)
+                out[total:total + take] = db.pac_window(pos, take)
             total += take
             beg += take
         return out[:total]

@@ -76,12 +76,60 @@ def _lib():
     lib.ibwa_pe_emit.restype = ctypes.c_int64
     lib.ibwa_pe_emit_buf.argtypes = [ctypes.c_void_p]
     lib.ibwa_pe_emit_buf.restype = ctypes.c_void_p
+    lib.ibwa_interleave_blobs.argtypes = [
+        u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p, i64p]
+    lib.ibwa_pe_prefill_walks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        u32p, u32p, i64p, u32p]
     _sigs_done = True
     return lib
 
 
+def interleave_blobs(blob0, off0, blob1, off1, start: int, n: int):
+    """End-read-ordered (r0/e0, r0/e1, r1/e0, ...) flat blob from two
+    per-file blob sets, sliced to [start, start+n) (native memcpy loop)."""
+    lib = _lib()
+    total = int(off0[start + n] - off0[start]
+                + off1[start + n] - off1[start])
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    off = np.empty(2 * n + 1, dtype=np.int64)
+    lib.ibwa_interleave_blobs(
+        _ptr(blob0, ctypes.c_uint8), _ptr(off0, ctypes.c_int64),
+        _ptr(blob1, ctypes.c_uint8), _ptr(off1, ctypes.c_int64),
+        start, n, _ptr(out, ctypes.c_uint8), _ptr(off, ctypes.c_int64))
+    return out, off
+
+
 def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def device_available() -> bool:
+    """Should the SAM stages offload SA walks to the device?
+
+    IBWA_PE_DEVICE=1 forces on (imports jax, may block on a dead axon
+    tunnel), =0 forces off.  Default: only when jax is ALREADY imported
+    and initialized in this process with a non-CPU backend (e.g. the
+    bench/pipeline process after the aln stage) — a standalone sampe
+    never triggers device init, so a dead tunnel can't hang it."""
+    import os
+    import sys
+    v = os.environ.get("IBWA_PE_DEVICE")
+    if v == "0":
+        return False
+    if v == "1":
+        import jax
+        return True
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return False
+    try:
+        from jax._src import xla_bridge
+        if not xla_bridge._backends:
+            return False  # not initialized; don't trigger a client init
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 # i64 per-end-read fields (pe_stage.cpp enum): pos, rpos, sa, c1, c2
@@ -235,6 +283,79 @@ class PeNative:
             _ptr(mpos, ctypes.c_int64), _ptr(mmeta, ctypes.c_int32))
         rng.x = int(st[0])
         return int(cnt_chg), mc, mpos, mmeta, cap
+
+    # total SA rows expanded per device prefill call (walk arrays are
+    # ~8 B/row host-side; the native cache caps itself independently)
+    PREFILL_MAX_ROWS = 16 << 20
+
+    def device_prefill_walks(self, walkers, recs_by_db) -> None:
+        """Resolve every SA interval of a batch's .sai records on the
+        device and prefill the native stage's walk cache, so
+        compute_coords (pe_stage.cpp) never LF-walks on the host core.
+
+        walkers: per-db fm.walk.DeviceWalker (None entries skip that db);
+        recs_by_db: per-db list of u32[n,4] .sai record arrays
+        (meta,k,l,score) — both ends' scans for the batch."""
+        for dbidx, recs_list in enumerate(recs_by_db):
+            w = walkers[dbidx] if dbidx < len(walkers) else None
+            recs_list = [r for r in recs_list if len(r)]
+            if w is None or not recs_list:
+                continue
+            recs = (np.concatenate(recs_list) if len(recs_list) > 1
+                    else recs_list[0])
+            a = ((recs[:, 0] >> 24) & 1).astype(np.uint8)
+            groups = []
+            rows_parts, strd_parts = [], []
+            total = 0
+            for av in (0, 1):
+                sel = recs[a == av]
+                if not len(sel):
+                    continue
+                key = (sel[:, 1].astype(np.uint64) << np.uint64(32)) \
+                    | sel[:, 2].astype(np.uint64)
+                key = np.unique(key)
+                ks = (key >> np.uint64(32)).astype(np.uint32)
+                ls = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                widths = ls.astype(np.int64) - ks + 1
+                # drop widest intervals past the row budget (they fall
+                # back to host walks + the native wide-interval cache)
+                csum = np.cumsum(widths[np.argsort(widths)])
+                budget = self.PREFILL_MAX_ROWS - total
+                n_keep = int(np.searchsorted(csum, budget, side="right"))
+                if n_keep < len(widths):
+                    order = np.argsort(widths)[:n_keep]
+                    ks, ls = ks[order], ls[order]
+                    widths = widths[order]
+                if not len(ks):
+                    continue
+                off = np.zeros(len(ks) + 1, dtype=np.int64)
+                np.cumsum(widths, out=off[1:])
+                n_rows = int(off[-1])
+                total += n_rows
+                pos = (np.arange(n_rows, dtype=np.int64)
+                       - np.repeat(off[:-1], widths))
+                rows = (np.repeat(ks.astype(np.int64), widths)
+                        + pos).astype(np.uint32)
+                rows_parts.append(rows)
+                # device strand: a=1 walks the forward index (walker 0)
+                strd_parts.append(
+                    np.full(n_rows, 1 - av, dtype=np.uint32))
+                groups.append((av, ks, ls, off, n_rows))
+            if not groups:
+                continue
+            all_rows = np.concatenate(rows_parts)
+            all_strd = np.concatenate(strd_parts)
+            vals = w.resolve(all_strd, all_rows)
+            base = 0
+            for av, ks, ls, off, n_rows in groups:
+                self._lib.ibwa_pe_prefill_walks(
+                    self._ctx, dbidx, av, len(ks),
+                    _ptr(np.ascontiguousarray(ks), ctypes.c_uint32),
+                    _ptr(np.ascontiguousarray(ls), ctypes.c_uint32),
+                    _ptr(off, ctypes.c_int64),
+                    _ptr(np.ascontiguousarray(vals[base:base + n_rows]),
+                         ctypes.c_uint32))
+                base += n_rows
 
     def enable_emit(self) -> None:
         """Register the emit-time per-db data (pac codes, .amb holes,

@@ -882,6 +882,43 @@ def paired_sw_arrays(dbs: DbSet, reads, lens: np.ndarray, i64: np.ndarray,
 BATCH = 0x40000
 
 
+class _LazyPairReads:
+    """reads[j][i] accessor over two ReadBatch blobs: materializes a Read
+    object only when asked (mate-rescue candidates are ~0.1% of a batch,
+    so the per-read-object loader was pure overhead)."""
+
+    class _End:
+        __slots__ = ("rb", "base")
+
+        def __init__(self, rb, base):
+            self.rb = rb
+            self.base = base
+
+        def __getitem__(self, i):
+            return self.rb.read(self.base + i)
+
+    def __init__(self, rbs, start):
+        self._ends = (self._End(rbs[0], start), self._End(rbs[1], start))
+
+    def __getitem__(self, j):
+        return self._ends[j]
+
+
+def _interleave_blobs(rbs, start: int, n: int):
+    """End-read-ordered (r0/e0, r0/e1, r1/e0, ...) flat blobs from two
+    per-file ReadBatches, sliced to [start, start+n): native memcpy loop
+    (the numpy repeat+fancy-index equivalent cost ~1.1 s per 50k pairs)."""
+    from .pe_native import interleave_blobs as _il
+    rb0, rb1 = rbs
+    orig_blob, orig_off = _il(rb0.orig_blob, rb0.orig_off,
+                              rb1.orig_blob, rb1.orig_off, start, n)
+    qual_blob, qual_off = _il(rb0.qual_blob, rb0.qual_off,
+                              rb1.qual_blob, rb1.qual_off, start, n)
+    name_blob, name_off = _il(rb0.name_blob, rb0.name_off,
+                              rb1.name_blob, rb1.name_off, start, n)
+    return (orig_blob, orig_off, qual_blob, qual_off, name_blob, name_off)
+
+
 def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
                fq1: str, fq2: str, popt: PeOpt,
                out: TextIO = sys.stdout, rg_line: str | None = None,
@@ -913,44 +950,81 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
     pe_nat = None
     blobs: list[list[bytes]] = [[], []]
     cursors: list[list[int]] = [[], []]
+    walkers = None
     if use_native:
-        from .pe_native import PeNative, scan_sai_batch
+        from .pe_native import PeNative, device_available, scan_sai_batch
         pe_nat = PeNative(dbs, popt, gopt)
         for which in range(2):
             for i in range(count):
                 blobs[which].append(fps[which][i].read())
                 cursors[which].append(0)
+        if device_available():
+            try:
+                from ..fm.walk import DeviceWalker
+                walkers = [DeviceWalker(db.load_fm(0), db.load_fm(1))
+                           for db in dbs.dbs]
+                print("[sai2sam_pe] SA walks on device", file=sys.stderr)
+            except Exception as e:
+                print(f"[sai2sam_pe] device walk engine unavailable: {e}",
+                      file=sys.stderr)
+                walkers = None
 
-    reads = [load_reads(fq1, trim_qual=gopt0.trim_qual,
-                        is_comp=bool(gopt0.mode & 0x02),
-                        is_64=bool(gopt0.mode & 0x200),
-                        l_bc=gopt0.mode >> 24),
-             load_reads(fq2, trim_qual=gopt.trim_qual,
-                        is_comp=bool(gopt.mode & 0x02),
-                        is_64=bool(gopt.mode & 0x200),
-                        l_bc=gopt.mode >> 24)]
+    # flat-blob fast loader (native scan, no per-read Python objects)
+    # when no trimming/offset-64/barcode is in play — the object loader
+    # cost ~9 us/read, ~0.9 s per 100k-read sampe run
+    rbs = None
+    if pe_nat is not None and all(
+            o.trim_qual < 1 and not (o.mode & 0x200) and not (o.mode >> 24)
+            for o in (gopt0, gopt)):
+        from ..io.reads import load_read_batch
+        rb1 = load_read_batch(fq1)
+        rb2 = load_read_batch(fq2)
+        if rb1 is not None and rb2 is not None:
+            rbs = (rb1, rb2)
+    if rbs is None:
+        reads = [load_reads(fq1, trim_qual=gopt0.trim_qual,
+                            is_comp=bool(gopt0.mode & 0x02),
+                            is_64=bool(gopt0.mode & 0x200),
+                            l_bc=gopt0.mode >> 24),
+                 load_reads(fq2, trim_qual=gopt.trim_qual,
+                            is_comp=bool(gopt.mode & 0x02),
+                            is_64=bool(gopt.mode & 0x200),
+                            l_bc=gopt.mode >> 24)]
+        n_reads = len(reads[0])
+    else:
+        n_reads = rbs[0].n
     last_ii = IsizeInfo()
     tot = 0
-    for start in range(0, len(reads[0]), BATCH):
-        batch = (reads[0][start:start + BATCH],
-                 reads[1][start:start + BATCH])
+    for start in range(0, n_reads, BATCH):
+        batch = (None if rbs is not None else
+                 (reads[0][start:start + BATCH],
+                  reads[1][start:start + BATCH]))
         ii = IsizeInfo()
         if pe_nat is not None:
             # array-state native batch: selection -> isize -> pairing ->
             # rescue -> refine/MD/print, with no per-read Python objects
             from .pe_native import NF32, NF64, scan_sai_batch
-            n_batch = len(batch[0])
+            n_batch = (min(BATCH, n_reads - start) if rbs is not None
+                       else len(batch[0]))
+            recs_by_db: list[list[np.ndarray]] = [[] for _ in range(count)]
             for which in range(2):
                 for i in range(count):
                     counts, recs, used = scan_sai_batch(
                         blobs[which][i][cursors[which][i]:], n_batch)
                     cursors[which][i] += used
                     pe_nat.set_sai_batch(which, i, counts, recs, n_batch)
+                    recs_by_db[i].append(recs)
+            if walkers is not None:
+                pe_nat.device_prefill_walks(walkers, recs_by_db)
             lens = np.empty(2 * n_batch, dtype=np.int32)
             fulls = np.empty(2 * n_batch, dtype=np.int32)
             for j in range(2):
-                lens[j::2] = [r.clip_len for r in batch[j]]
-                fulls[j::2] = [r.full_len for r in batch[j]]
+                if rbs is not None:
+                    lens[j::2] = rbs[j].lens[start:start + n_batch]
+                    fulls[j::2] = rbs[j].fulls[start:start + n_batch]
+                else:
+                    lens[j::2] = [r.clip_len for r in batch[j]]
+                    fulls[j::2] = [r.full_len for r in batch[j]]
             md = _batch_max_diffs_lens(lens, gopt)
             i64 = np.zeros(2 * n_batch * NF64, dtype=np.int64)
             i32 = np.zeros(2 * n_batch * NF32, dtype=np.int32)
@@ -964,13 +1038,27 @@ def sai2sam_pe(prefixes: list[str], sai_pairs: list[tuple[str, str]],
                 n_batch, lens, fulls, md, ii, popt, i64, i32, rng)
             print(f"[sai2sam_pe] changing coordinates of {cnt_chg} "
                   f"alignments.", file=sys.stderr)
-            in_cigs = paired_sw_arrays(dbs, batch, lens, i64, i32, popt, ii)
-            reads_by_e = [batch[j][i] for i in range(n_batch)
-                          for j in range(2)]
-            text = pe_nat.emit(reads_by_e, lens, fulls, md, i64, i32,
-                               mc, mpos, mmeta, cap, in_cigs, gopt.mode,
-                               gopt.max_top2, rg_id, is_pe=True,
-                               se_mode=False)
+            sw_reads = (_LazyPairReads(rbs, start) if rbs is not None
+                        else batch)
+            in_cigs = paired_sw_arrays(dbs, sw_reads, lens, i64, i32,
+                                       popt, ii)
+            if rbs is not None:
+                (orig_blob, orig_off, qual_blob, qual_off,
+                 name_blob, name_off) = _interleave_blobs(rbs, start,
+                                                          n_batch)
+                text = pe_nat.emit_blobs(
+                    2 * n_batch, orig_blob, orig_off, qual_blob, qual_off,
+                    name_blob, name_off, np.zeros(1, np.uint8),
+                    np.zeros(2 * n_batch + 1, np.int64), lens, fulls, md,
+                    i64, i32, mc, mpos, mmeta, cap, in_cigs, gopt.mode,
+                    gopt.max_top2, rg_id, is_pe=True, se_mode=False)
+            else:
+                reads_by_e = [batch[j][i] for i in range(n_batch)
+                              for j in range(2)]
+                text = pe_nat.emit(reads_by_e, lens, fulls, md, i64, i32,
+                                   mc, mpos, mmeta, cap, in_cigs, gopt.mode,
+                                   gopt.max_top2, rg_id, is_pe=True,
+                                   se_mode=False)
             out.write(text.decode("latin-1"))
             tot += n_batch
             print(f"[sai2sam_pe] {tot} sequences have been processed.",
