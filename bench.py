@@ -41,24 +41,41 @@ def _probe_backend() -> None:
     labeled CPU-fallback line still gets printed."""
     if os.environ.get("IBWA_BENCH_PROBED"):
         return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=600, check=True, capture_output=True)
-        os.environ["IBWA_BENCH_PROBED"] = "tpu"
-        return
-    except Exception:
-        log("device backend unreachable (axon tunnel down?) — "
-            "re-exec on CPU; the headline will be labeled cpu-fallback")
-        env = dict(os.environ)
-        env["IBWA_BENCH_PROBED"] = "cpu-fallback"
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PYTHONPATH"] = str(REPO)
-        # with no chip, the framework's CPU mode IS the native search;
-        # an explicit env share is fixed (no controller adaptation), so
-        # the headline measures that instead of jax-on-CPU emulation
-        env.setdefault("IBWA_HOST_FRAC", "1.0")
-        os.execve(sys.executable, [sys.executable, __file__], env)
+    # the tunnel refuses a new client for ~a minute after the previous
+    # one disconnects — one-shot probing misread that as "tunnel down"
+    # (round 3's bench went cpu-fallback on a live chip this way)
+    for attempt in range(3):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=600, check=True, capture_output=True)
+            os.environ["IBWA_BENCH_PROBED"] = "tpu"
+            return
+        except subprocess.CalledProcessError as e:
+            tail = (e.stderr or b"")[-300:].decode(errors="replace")
+            log(f"device probe attempt {attempt + 1}/3 failed rc={e.returncode}"
+                f" stderr: ...{tail}")
+            if attempt < 2:
+                time.sleep(60)
+        except Exception as e:
+            log(f"device probe attempt {attempt + 1}/3 failed: {e!r}")
+            if attempt < 2:
+                time.sleep(60)
+    log("device backend unreachable (axon tunnel down?) — "
+        "re-exec on CPU; the headline will be labeled cpu-fallback")
+    env = dict(os.environ)
+    env["IBWA_BENCH_PROBED"] = "cpu-fallback"
+    env["JAX_PLATFORMS"] = "cpu"
+    # PREPEND to PYTHONPATH — replacing it silently removes the axon
+    # plugin's site dir (/root/.axon_site) and "tunnel down" becomes a
+    # self-inflicted wound (this exact bug made rounds 3-4 go
+    # cpu-fallback on a live chip)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # with no chip, the framework's CPU mode IS the native search;
+    # an explicit env share is fixed (no controller adaptation), so
+    # the headline measures that instead of jax-on-CPU emulation
+    env.setdefault("IBWA_HOST_FRAC", "1.0")
+    os.execve(sys.executable, [sys.executable, __file__], env)
 WORK = REPO / ".bench"
 GENOME_TAG = "rep1"       # bump when the genome recipe changes
 GENOME_LEN = 32_000_000   # chr20-scale (BASELINE.json configs 3-4)
