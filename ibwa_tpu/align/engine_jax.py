@@ -324,7 +324,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
         pos2 = jnp.stack([i2, ii_c + SOFF], axis=-1)
     r2 = rows[:, None]
     a2 = e_a[:, None]
-    mg = meta[r2, a2, pos2]
+    # flat-index the element gather: 1-D-indexed gathers measure ~2x
+    # cheaper per element than multi-dim-indexed ones (ROUND4.md §4)
+    midx = (r2 * meta.shape[1] + a2) * meta.shape[2] + pos2
+    mg = meta.reshape(-1)[midx.reshape(-1)].reshape(midx.shape)
     mm_, ms_ = mg[:, 0], mg[:, 1]
     bm1 = (mm_ & 0x3FFF).astype(I32)
     b0_ = ((mm_ >> 14) & 0x3FFF).astype(I32)

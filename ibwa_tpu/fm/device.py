@@ -194,7 +194,14 @@ def _gather_block(fm: DeviceFmPair, strand, k):
     off = k & jnp.uint32(127)
     flat = strand * jnp.uint32(fm.n_blk) + blk
     if fm.shard_axis is None:
-        row = fm.blocks[flat]                              # [..., 12]
+        # flatten the index before the gather: an on-chip microbench
+        # (ROUND4.md §4) measured [B,2]-indexed row gathers at ~2x the
+        # per-row cost of flat [2B] gathers (37.5 vs 21 ns/row @ 48 B) —
+        # the [.., 2, 12] result tiles terribly on the (8,128) VREG grid
+        if flat.ndim > 1:
+            row = fm.blocks[flat.reshape(-1)].reshape(*flat.shape, 12)
+        else:
+            row = fm.blocks[flat]                          # [..., 12]
     else:
         # sharded-index mode: rows are split contiguously over the mesh
         # axis; fetch what this shard owns, zero elsewhere, and psum the
@@ -272,7 +279,12 @@ def occ2(fm: DeviceFmPair, strand, k, d):
     blk = (kk >> 7).astype(jnp.uint32)
     blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
     off = kk & jnp.uint32(127)
-    row = blocks2[strand * jnp.uint32(fm.n_blk) + blk]   # [..., 32]
+    flat2 = strand * jnp.uint32(fm.n_blk) + blk
+    if flat2.ndim > 1:
+        # flat-index the pair gather (see _gather_block's note)
+        row = blocks2[flat2.reshape(-1)].reshape(*flat2.shape, 32)
+    else:
+        row = blocks2[flat2]                             # [..., 32]
     ck = row[..., :16]
     w = row[..., 16:]
     nw = (off >> 3).astype(jnp.int32)        # fully-counted nibble words

@@ -108,28 +108,18 @@ def device_available() -> bool:
     """Should the SAM stages offload SA walks to the device?
 
     IBWA_PE_DEVICE=1 forces on (imports jax, may block on a dead axon
-    tunnel), =0 forces off.  Default: only when jax is ALREADY imported
-    and initialized in this process with a non-CPU backend (e.g. the
-    bench/pipeline process after the aln stage) — a standalone sampe
-    never triggers device init, so a dead tunnel can't hang it."""
+    tunnel), anything else (including unset) keeps the walks on the
+    host.  Default OFF: measured on-chip (round 4, 50k pairs), the
+    device-walk path ran sampe at 0.22x the reference vs 1.06x for the
+    host path — every per-batch walk dispatch pays the ~25-30 ms axon
+    tunnel round trip (ROUND4.md §1), which dwarfs the walk itself.  On
+    a rig with local chips this default deserves re-measuring."""
     import os
-    import sys
     v = os.environ.get("IBWA_PE_DEVICE")
-    if v == "0":
-        return False
     if v == "1":
-        import jax
+        import jax  # noqa: F401 — fail fast if jax is unavailable
         return True
-    jax = sys.modules.get("jax")
-    if jax is None:
-        return False
-    try:
-        from jax._src import xla_bridge
-        if not xla_bridge._backends:
-            return False  # not initialized; don't trigger a client init
-        return jax.default_backend() != "cpu"
-    except Exception:
-        return False
+    return False
 
 
 # i64 per-end-read fields (pe_stage.cpp enum): pos, rpos, sa, c1, c2
