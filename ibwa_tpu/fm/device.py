@@ -163,7 +163,15 @@ def build_device_pair(fwd: FmIndex, rev: FmIndex,
     l2 = fwd.L2.astype(np.uint32)
     if dimer is None:
         import os
+        # Default OFF as of round 4: the on-chip A/B (sweep_dimer,
+        # device-only, rep1 corpus, same ITER_CAP) measured the occ1
+        # engine at 8,055 reads/s vs 4,534 for DIMER_UNROLL=2 — the
+        # dimer table halves *steps* but each step gathers more and
+        # bigger rows (128 B occ2 vs 48 B occ4/occ1), and on-chip
+        # gather cost is ∝ rows·bytes, not per-op dispatch
+        # (ROUND4.md §2/§6).  IBWA_DIMER=1 opts back in.
         dimer = (fwd.seq_len <= DIMER_MAX_LEN
+                 and os.environ.get("IBWA_DIMER") == "1"
                  and not os.environ.get("IBWA_NO_DIMER"))
     dimer_arrays = None
     if dimer:

@@ -55,7 +55,7 @@ def _brute_dimer_counts(fm: FmIndex):
 def test_occ2_matches_bruteforce(idx):
     fms, _ = idx
     import jax.numpy as jnp
-    dfm = build_device_pair(fms[0], fms[1])
+    dfm = build_device_pair(fms[0], fms[1], dimer=True)
     assert dfm.dimer is not None
     for strand, fm in enumerate(fms):
         b1, b2 = _brute_dimer_counts(fm)
@@ -101,6 +101,8 @@ def test_engine_parity_dimer_off(idx, monkeypatch):
     opt = GapOpt()
     ref = engine_ref.align_batch(fms, seqs, rseqs, opt)
     monkeypatch.setattr(engine_jax, "ITER_CAP", 1 << 30)
+    # dimer is opt-in as of round 4 (slower on chip, kept for parity)
+    monkeypatch.setenv("IBWA_DIMER", "1")
     got_dimer = engine_jax.JaxAlnEngine(fms).align_batch(seqs, rseqs, opt)
     monkeypatch.setenv("IBWA_NO_DIMER", "1")
     got_plain = engine_jax.JaxAlnEngine(fms).align_batch(seqs, rseqs, opt)
