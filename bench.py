@@ -47,7 +47,9 @@ def _probe_backend() -> None:
     for attempt in range(3):
         try:
             subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax; assert jax.default_backend() != 'cpu', "
+                 "jax.devices()"],
                 timeout=600, check=True, capture_output=True)
             os.environ["IBWA_BENCH_PROBED"] = "tpu"
             return
@@ -330,6 +332,11 @@ def bench_stages(fa: pathlib.Path, extra: dict) -> None:
 
 def main() -> None:
     _probe_backend()
+    if os.environ.get("IBWA_BENCH_PROBED") == "cpu-fallback":
+        # the axon sitecustomize force-registers the tunnel backend and
+        # overrides the JAX_PLATFORMS env var; only the config pin sticks
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     fa, fq = ensure_inputs()
 
     from ibwa_tpu.align.engine_jax import ACAP, JaxAlnEngine
@@ -453,6 +460,10 @@ def main() -> None:
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        # headline honesty (VERDICT r4 item 8): the hybrid number is
+        # chip + one host core; these two say how much is the chip
+        "host_frac": eng.stats.get("host_frac"),
+        "device_only_vs_ref": extra.get("device_only_vs_ref"),
     }
     if os.environ.get("IBWA_BENCH_PROBED") == "cpu-fallback":
         rec["backend"] = "cpu-fallback"   # axon tunnel was down

@@ -139,6 +139,11 @@ class EngineConfig:
     # 2-mer occ table and consumes TWO exact-extension bases (fm/device.py
     # ::occ2) — an E pop burns 1 + 2*dimer_unroll bases.
     dimer_unroll: int = 0
+    # PROFILING ONLY (scripts/profile_step.py): component names to stub
+    # out of the step so marginal Δwall/Δsteps isolates each one's cost.
+    # Stubbed steps are semantically WRONG — never set outside profiling.
+    # Names: occ4, eunroll, meta, shadow, stack, hits.
+    profile_skips: tuple = ()
 
 
 def _pack_m2(nmm, gapo, gape):
@@ -299,7 +304,12 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     # occ4 at (k-1, l): serves the expansion (bwtgap.c:201) AND the
     # E-state exact extension (bwt.c:243-246) — one [B,2]-row gather
     kl = jnp.stack([e_k - 1, e_l], axis=-1)
-    cnt_kl = occ4(fm, sidx[:, None], kl)             # [B, 2, 4]
+    if "occ4" in cfg.profile_skips:   # profiling stub: no row gather
+        cnt_kl = jnp.broadcast_to(
+            ((e_k + e_l)[:, None, None] & jnp.uint32(0x3FF))
+            + jnp.arange(4, dtype=U32)[None, None, :], (B, 2, 4))
+    else:
+        cnt_kl = occ4(fm, sidx[:, None], kl)         # [B, 2, 4]
     cnt_k = cnt_kl[:, 0]
     cnt_l = cnt_kl[:, 1]
     l2b = fm.L2[:4][None, :]
@@ -327,7 +337,10 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     # flat-index the element gather: 1-D-indexed gathers measure ~2x
     # cheaper per element than multi-dim-indexed ones (ROUND4.md §4)
     midx = (r2 * meta.shape[1] + a2) * meta.shape[2] + pos2
-    mg = meta.reshape(-1)[midx.reshape(-1)].reshape(midx.shape)
+    if "meta" in cfg.profile_skips:   # profiling stub: no element gather
+        mg = midx.astype(U32) & jnp.uint32(0xFFF)
+    else:
+        mg = meta.reshape(-1)[midx.reshape(-1)].reshape(midx.shape)
     mm_, ms_ = mg[:, 0], mg[:, 1]
     bm1 = (mm_ & 0x3FFF).astype(I32)
     b0_ = ((mm_ >> 14) & 0x3FFF).astype(I32)
@@ -337,6 +350,8 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     sweq = (ms_ >> 28) & 1
     if cfg.dimer_unroll:
         base = (mm_ >> 29).astype(I32)               # read base (both paths)
+    elif "meta" in cfg.profile_skips:  # profiling stub: no seqs gather
+        base = i2 & 3
     else:
         base = seqs[rid, e_a, i2].astype(I32)        # read base (both paths)
 
@@ -382,28 +397,30 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     slot = jnp.minimum(n_hits, HCAP - 1)
     nmeta = (_pack_m2(e_nmm, e_gapo, e_gape) | (e_a.astype(U32) << 24))
     hrow = jnp.where(do_add, rows, B)
-    hk = hk.at[hrow, slot].set(e_k, mode="drop")
-    hl = hl.at[hrow, slot].set(e_l, mode="drop")
-    hm = hm.at[hrow, slot].set(nmeta, mode="drop")
+    if "hits" not in cfg.profile_skips:   # profiling: skip hit scatters
+        hk = hk.at[hrow, slot].set(e_k, mode="drop")
+        hl = hl.at[hrow, slot].set(e_l, mode="drop")
+        hm = hm.at[hrow, slot].set(nmeta, mode="drop")
     n_hits = n_hits + do_add.astype(I32)
 
     # gap_shadow (bwtgap.c:81-91): masked elementwise over both strands
-    x = e_l - e_k + 1
-    strand_sel = (jnp.arange(2)[None, :, None] == e_a[:, None, None])
-    # position axis is main [0..L] ++ seed [L+1..L+SL+1]; e_ldp <= L keeps
-    # the shadow off the seed region (the reference shadows only the main
-    # width array, bwtgap.c:81-91)
-    inr = (jnp.arange(cfg.L + cfg.SL + 2)[None, None, :]
-           < e_ldp[:, None, None])
-    upd = do_add[:, None, None] & strand_sel & inr
-    meq = upd & (w == x[:, None, None])
-    j = jnp.cumsum(meq.astype(I32), axis=2)
-    w = jnp.where(upd & (w > x[:, None, None]), w - x[:, None, None],
-                  jnp.where(meq, seq_len_u - j.astype(U32), w))
-    bid = jnp.where(meq, 1, bid)
-    # cheap full-plane elementwise refresh; bits 29-31 (read base in
-    # dimer mode, zero otherwise) are invariant for a loaded read
-    meta = _pack_meta(w, bid) | (meta & jnp.uint32(0xE0000000))
+    if "shadow" not in cfg.profile_skips:  # profiling: skip plane refresh
+        x = e_l - e_k + 1
+        strand_sel = (jnp.arange(2)[None, :, None] == e_a[:, None, None])
+        # position axis is main [0..L] ++ seed [L+1..L+SL+1]; e_ldp <= L
+        # keeps the shadow off the seed region (the reference shadows only
+        # the main width array, bwtgap.c:81-91)
+        inr = (jnp.arange(cfg.L + cfg.SL + 2)[None, None, :]
+               < e_ldp[:, None, None])
+        upd = do_add[:, None, None] & strand_sel & inr
+        meq = upd & (w == x[:, None, None])
+        j = jnp.cumsum(meq.astype(I32), axis=2)
+        w = jnp.where(upd & (w > x[:, None, None]), w - x[:, None, None],
+                      jnp.where(meq, seq_len_u - j.astype(U32), w))
+        bid = jnp.where(meq, 1, bid)
+        # cheap full-plane elementwise refresh; bits 29-31 (read base in
+        # dimer mode, zero otherwise) are invariant for a loaded read
+        meta = _pack_meta(w, bid) | (meta & jnp.uint32(0xE0000000))
 
     # ---- expansion (bwtgap.c:198-258) ----
     occv = e_l - e_k + 1
@@ -541,7 +558,8 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
             el9 = jnp.where(okx, l2v, el9)
             ei9 = jnp.where(okx, ei9 - 2, ei9)
     else:
-        for _u in range(E_UNROLL - 1):
+        for _u in range(E_UNROLL - 1
+                        if "eunroll" not in cfg.profile_skips else 0):
             cont = ev & (ei9 > 0)
             bu = seqs[rid, e_a, jnp.maximum(ei9 - 1, 0)].astype(I32)
             cu = jnp.minimum(bu, 3).astype(U32)
@@ -582,12 +600,18 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
     fb = fb | seq_ovf.any(axis=1)
     cv = cv & ~seq_ovf
     kv = (sc << 20) | (MAX_SEQ - (seqc[:, None] + ofs))
-    upd = (stack_kernel.stack_update if cfg.pallas_stack
-           else stack_kernel.stack_update_xla)
-    (key, sk, sl_, sm1, sm2, ovf, npush,
-     pslot, pkey, pk, pl, pm1, pm2) = upd(
-        slot0, act, cv, ofs, kv, ck_, cl_, cm1, cm2,
-        key, sk, sl_, sm1, sm2, acap=cfg.acap)
+    if "stack" in cfg.profile_skips:   # profiling stub: no stack kernel
+        ovf = jnp.zeros((B,), bool)
+        npush = cv.astype(I32).sum(axis=1)
+        pslot, pkey = slot0, kv[:, 0]
+        pk, pl, pm1, pm2 = ck_[:, 0], cl_[:, 0], cm1[:, 0], cm2[:, 0]
+    else:
+        upd = (stack_kernel.stack_update if cfg.pallas_stack
+               else stack_kernel.stack_update_xla)
+        (key, sk, sl_, sm1, sm2, ovf, npush,
+         pslot, pkey, pk, pl, pm1, pm2) = upd(
+            slot0, act, cv, ofs, kv, ck_, cl_, cm1, cm2,
+            key, sk, sl_, sm1, sm2, acap=cfg.acap)
     fb = fb | ovf
     seqc = seqc + npush
     stack_n = stack_n + npush
@@ -601,20 +625,12 @@ def _search_step(cfg: EngineConfig, fm: DeviceFmPair, seqs, st):
             pslot, pkey, pk, pl, pm1, pm2)
 
 
-@functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("seq_len", "n_blk", "shard_axis"))
-def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
-                seqs, lens, max_diff0, has_seed, seed_seqs, bad,
-                seq_len: int, n_blk: int, shard_axis: str | None = None,
-                dimer=None):
-    if not cfg.dimer_unroll:
-        dimer = None
-    elif dimer is not None:
-        # closure-captured numpy tables can't be indexed by tracers
-        dimer = tuple(jnp.asarray(a) for a in dimer)
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
-                      seq_len, n_blk, shard_axis)
+def _init_state(cfg: EngineConfig, fm: DeviceFmPair, seqs, lens, max_diff0,
+                has_seed, seed_seqs, bad):
+    """Fresh whole-batch search state (shared by _run_search and the
+    component-budget profiler, scripts/profile_step.py)."""
     B = lens.shape[0]
+    seq_len = fm.seq_len
 
     w, bid = _compute_widths(fm, seqs, lens, cfg.L)
     slens = jnp.where(has_seed, cfg.SL, 0)
@@ -653,14 +669,31 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
 
     rid = jnp.arange(B, dtype=I32)
     lane_it = jnp.zeros((B,), I32)
-    st = (rid, lens, has_seed, lane_it,
-          sk, sl_, sm1, sm2, key, seqc, stack_n,
-          w, bid, meta,
-          hk, hl, hm, n_hits,
-          best_score, best_cnt, max_diff0, done, fb, it,
-          jnp.ones((B,), I32), jnp.full((B,), MAX_SEQ - 1, I32),
-          jnp.zeros((B,), U32), jnp.full((B,), seq_len, U32),
-          m1_root(1), jnp.zeros((B,), U32))
+    return (rid, lens, has_seed, lane_it,
+            sk, sl_, sm1, sm2, key, seqc, stack_n,
+            w, bid, meta,
+            hk, hl, hm, n_hits,
+            best_score, best_cnt, max_diff0, done, fb, it,
+            jnp.ones((B,), I32), jnp.full((B,), MAX_SEQ - 1, I32),
+            jnp.zeros((B,), U32), jnp.full((B,), seq_len, U32),
+            m1_root(1), jnp.zeros((B,), U32))
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("seq_len", "n_blk", "shard_axis"))
+def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
+                seqs, lens, max_diff0, has_seed, seed_seqs, bad,
+                seq_len: int, n_blk: int, shard_axis: str | None = None,
+                dimer=None):
+    if not cfg.dimer_unroll:
+        dimer = None
+    elif dimer is not None:
+        # closure-captured numpy tables can't be indexed by tracers
+        dimer = tuple(jnp.asarray(a) for a in dimer)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
+                      seq_len, n_blk, shard_axis)
+    st = _init_state(cfg, fm, seqs, lens, max_diff0, has_seed, seed_seqs,
+                     bad)
 
     def cond(st):
         done, fb, it = st[21], st[22], st[23]

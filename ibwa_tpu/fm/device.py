@@ -27,6 +27,33 @@ from .fmindex import FmIndex
 OCC_INTV = 128
 NEG1 = 0xFFFFFFFF
 
+# Split hot flat row gathers into this many independent gather ops.
+# Round-5 on-chip chase (scripts/bench_chase.py, marginal, readback-
+# forced): two half-size dependent gathers beat one full-size one at
+# B>=1024 (6.95 vs 9.97 ns/row at 512 B rows) — the gather engine has a
+# per-op concurrency knee — while each extra op costs ~1 us launch, so
+# small batches lose.  Read once at import; sweep with a fresh process.
+import os as _os
+GATHER_WAVES = int(_os.environ.get("IBWA_GATHER_WAVES", "1") or "1")
+
+
+def _waved_take(table, idx, waves: int = 0):
+    """table[idx] as `waves` independent serial gather ops (flat idx).
+
+    Value-identical to table[idx]; the split only changes the executed
+    op sequence.  optimization_barrier pins the chunk boundaries so XLA
+    cannot re-merge the gathers."""
+    W = waves or GATHER_WAVES
+    n = idx.shape[0]
+    if W <= 1 or n % W or n < 128 * W:
+        return table[idx]
+    c = n // W
+    outs = []
+    for w in range(W):
+        iw = jax.lax.optimization_barrier(idx[w * c:(w + 1) * c])
+        outs.append(table[iw])
+    return jnp.concatenate(outs, axis=0)
+
 
 @dataclasses.dataclass
 class DeviceFmPair:
@@ -205,11 +232,14 @@ def _gather_block(fm: DeviceFmPair, strand, k):
         # flatten the index before the gather: an on-chip microbench
         # (ROUND4.md §4) measured [B,2]-indexed row gathers at ~2x the
         # per-row cost of flat [2B] gathers (37.5 vs 21 ns/row @ 48 B) —
-        # the [.., 2, 12] result tiles terribly on the (8,128) VREG grid
+        # the [.., 2, 12] result tiles terribly on the (8,128) VREG grid.
+        # _waved_take then splits the flat gather into GATHER_WAVES ops
+        # (round-5 chase: ~1.4x per-row at B>=1024).
         if flat.ndim > 1:
-            row = fm.blocks[flat.reshape(-1)].reshape(*flat.shape, 12)
+            row = _waved_take(fm.blocks, flat.reshape(-1)).reshape(
+                *flat.shape, 12)
         else:
-            row = fm.blocks[flat]                          # [..., 12]
+            row = _waved_take(fm.blocks, flat)             # [..., 12]
     else:
         # sharded-index mode: rows are split contiguously over the mesh
         # axis; fetch what this shard owns, zero elsewhere, and psum the

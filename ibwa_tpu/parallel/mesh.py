@@ -5,8 +5,11 @@ Reads are the data axis — the reference's pthread work-claiming
 FM-index block table is replicated per device (the reference shares one
 read-only index across threads, bwtaln.c:212).  Index replication fits a
 human-genome-scale table (~1.2 GB of 48-byte block rows per strand) in a
-single v5e chip's HBM; sharding the table over a second mesh axis with
-ppermute'd interval queries is the planned >HBM mode.
+single v5e chip's HBM.  For >HBM genomes the table shards contiguously
+over a second `idx` mesh axis (implemented below: `make_mesh_2d` +
+`run_sharded_index_search`; fm/device.py::_gather_block does the masked
+local gather + psum) — bit-identical to the replicated path
+(tests/test_engine_jax.py sharded-index cases).
 
 Multi-host: run one process per host under `jax.distributed.initialize`;
 each host feeds its local shard of the read batch (per-host fastq

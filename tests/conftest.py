@@ -18,6 +18,13 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize registers the tunnel TPU backend at interpreter
+# start and OVERRIDES the JAX_PLATFORMS env var — without this config
+# pin the "CPU" suite silently runs every jit through the tunnel chip
+# (discovered round 5: the whole round-4 suite did exactly that).
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
