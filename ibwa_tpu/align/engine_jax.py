@@ -690,8 +690,11 @@ def _run_search(cfg: EngineConfig, blocks, L2, l2diff, primary,
     elif dimer is not None:
         # closure-captured numpy tables can't be indexed by tracers
         dimer = tuple(jnp.asarray(a) for a in dimer)
+    # block interval is implied by the (static) row width: 4 ckpt words
+    # + intv/16 text words
     fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
-                      seq_len, n_blk, shard_axis)
+                      seq_len, n_blk, shard_axis,
+                      (blocks.shape[1] - 4) << 4)
     st = _init_state(cfg, fm, seqs, lens, max_diff0, has_seed, seed_seqs,
                      bad)
 
@@ -749,7 +752,8 @@ def _run_search_persistent(cfg: EngineConfig, blocks, L2, l2diff, primary,
     elif dimer is not None:
         dimer = tuple(jnp.asarray(a) for a in dimer)
     fm = DeviceFmPair(blocks, L2, l2diff, primary, dimer,
-                      seq_len, n_blk, shard_axis)
+                      seq_len, n_blk, shard_axis,
+                      (blocks.shape[1] - 4) << 4)
     N = lens.shape[0]
     B = n_lanes
 

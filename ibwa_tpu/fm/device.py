@@ -91,11 +91,23 @@ class DeviceFmPair:
     # split contiguously over this mesh axis; every row gather becomes a
     # masked local gather + a psum over the axis (see _gather_block)
     shard_axis: str | None = None   # static
+    # occ block interval: 128 (4 ckpt + 8 text words, 48 B rows — the
+    # disk layout) or 64 (4 ckpt + 4 text words, 32 B rows).  Round-5
+    # on-chip chase: a 32 B row gathers 1.7x faster than 48 B at B=1024
+    # (13.3 vs 22.4 us per 1024 rows) — the dependent-gather engine is
+    # request-bound and smaller rows clear faster.  The dimer table
+    # requires intv=128.
+    intv: int = 128     # static
+
+    @property
+    def wpb(self) -> int:
+        """Text words per block (intv bases / 16 per u32)."""
+        return self.intv >> 4
 
     def tree_flatten(self):
         return ((self.blocks, self.L2, self.l2diff, self.primary,
                  self.dimer),
-                (self.seq_len, self.n_blk, self.shard_axis))
+                (self.seq_len, self.n_blk, self.shard_axis, self.intv))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -177,16 +189,59 @@ def _build_dimer_strand(fm: FmIndex):
     return row, oc2, dtot, corr
 
 
+def _popcount_bases(words: np.ndarray) -> np.ndarray:
+    """Per-block counts of each base code in a [n, k]-word 2-bit stream.
+
+    Returns uint32[n, 4].  Zero padding counts as base 0 — callers must
+    only use rows whose every word is real text."""
+    out = np.zeros((words.shape[0], 4), dtype=np.uint32)
+    for c in range(4):
+        x = words ^ np.uint32(0x55555555 * c)
+        t = (~x) & ((~x) >> np.uint32(1)) & np.uint32(0x55555555)
+        # vectorized popcount via uint8 view + bit table
+        bits = np.unpackbits(t.view(np.uint8), axis=-1)
+        out[:, c] = bits.reshape(words.shape[0], -1).sum(axis=1)
+    return out
+
+
+def _halve_blocks(ckpt: np.ndarray, words: np.ndarray, seq_len: int
+                  ) -> np.ndarray:
+    """Re-checkpoint one strand's 128-base layout at 64-base intervals.
+
+    Returns uint32[n64, 8] rows: 4 ckpt words + 4 text words.  The odd
+    half-block's checkpoint = even checkpoint + first-half counts; a
+    trailing odd row whose first half contains padding is never gathered
+    (queries clamp to seq_len - 1) and is trimmed when possible."""
+    n128 = (seq_len + OCC_INTV - 1) // OCC_INTV
+    n64 = (seq_len + 63) // 64
+    rows = np.zeros((2 * n128, 8), dtype=np.uint32)
+    rows[0::2, :4] = ckpt[:n128]
+    rows[1::2, :4] = ckpt[:n128] + _popcount_bases(words[:, :4])
+    rows[0::2, 4:] = words[:, :4]
+    rows[1::2, 4:] = words[:, 4:]
+    return np.ascontiguousarray(rows[:n64])
+
+
 def build_device_pair(fwd: FmIndex, rev: FmIndex,
-                      put=jnp.asarray, dimer: bool | None = None
-                      ) -> DeviceFmPair:
+                      put=jnp.asarray, dimer: bool | None = None,
+                      intv: int | None = None) -> DeviceFmPair:
     assert fwd.seq_len == rev.seq_len
-    n_blk = (fwd.seq_len + OCC_INTV - 1) // OCC_INTV
-    blocks = np.empty((2 * n_blk, 12), dtype=np.uint32)
-    blocks[:n_blk, :4] = fwd.ckpt[:n_blk]
-    blocks[:n_blk, 4:] = fwd.words
-    blocks[n_blk:, :4] = rev.ckpt[:n_blk]
-    blocks[n_blk:, 4:] = rev.words
+    if intv is None:
+        import os
+        intv = int(os.environ.get("IBWA_DEV_INTV", "64"))
+    assert intv in (64, 128), intv
+    if intv == 64:
+        n_blk = (fwd.seq_len + 63) // 64
+        blocks = np.concatenate(
+            [_halve_blocks(fwd.ckpt, fwd.words, fwd.seq_len),
+             _halve_blocks(rev.ckpt, rev.words, rev.seq_len)], axis=0)
+    else:
+        n_blk = (fwd.seq_len + OCC_INTV - 1) // OCC_INTV
+        blocks = np.empty((2 * n_blk, 12), dtype=np.uint32)
+        blocks[:n_blk, :4] = fwd.ckpt[:n_blk]
+        blocks[:n_blk, 4:] = fwd.words
+        blocks[n_blk:, :4] = rev.ckpt[:n_blk]
+        blocks[n_blk:, 4:] = rev.words
     l2 = fwd.L2.astype(np.uint32)
     if dimer is None:
         import os
@@ -218,15 +273,19 @@ def build_device_pair(fwd: FmIndex, rev: FmIndex,
         dimer=dimer_arrays,
         seq_len=fwd.seq_len,
         n_blk=n_blk,
+        intv=intv,
     )
 
 
 def _gather_block(fm: DeviceFmPair, strand, k):
-    """Common block gather: returns (ck[..,4], w[..,8], nw, nb) for queries
-    already adjusted for the primary sentinel and clamped in range."""
-    blk = (k >> 7).astype(jnp.uint32)
+    """Common block gather: returns (ck[..,4], w[..,wpb], nw, nb) for
+    queries already adjusted for the primary sentinel and clamped in
+    range."""
+    shift = 7 if fm.intv == 128 else 6
+    roww = 4 + fm.wpb
+    blk = (k >> shift).astype(jnp.uint32)
     blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
-    off = k & jnp.uint32(127)
+    off = k & jnp.uint32(fm.intv - 1)
     flat = strand * jnp.uint32(fm.n_blk) + blk
     if fm.shard_axis is None:
         # flatten the index before the gather: an on-chip microbench
@@ -234,16 +293,16 @@ def _gather_block(fm: DeviceFmPair, strand, k):
         # per-row cost of flat [2B] gathers (37.5 vs 21 ns/row @ 48 B) —
         # the [.., 2, 12] result tiles terribly on the (8,128) VREG grid.
         # _waved_take then splits the flat gather into GATHER_WAVES ops
-        # (round-5 chase: ~1.4x per-row at B>=1024).
+        # (round-5 chase: waves lose at these row sizes; default 1).
         if flat.ndim > 1:
             row = _waved_take(fm.blocks, flat.reshape(-1)).reshape(
-                *flat.shape, 12)
+                *flat.shape, roww)
         else:
-            row = _waved_take(fm.blocks, flat)             # [..., 12]
+            row = _waved_take(fm.blocks, flat)             # [..., roww]
     else:
         # sharded-index mode: rows are split contiguously over the mesh
         # axis; fetch what this shard owns, zero elsewhere, and psum the
-        # one-hot rows over ICI ([...,12] u32 per query — bandwidth-cheap)
+        # one-hot rows over ICI (one u32 row per query — bandwidth-cheap)
         n_local = fm.blocks.shape[0]
         lo = (jax.lax.axis_index(fm.shard_axis).astype(jnp.uint32)
               * jnp.uint32(n_local))
@@ -281,9 +340,9 @@ def occ4(fm: DeviceFmPair, strand, k):
     ck, w, nw, nb = _gather_block(fm, strand, kk)
 
     pats = jnp.uint32(0x55555555) * jnp.arange(4, dtype=jnp.uint32)
-    x = w[..., None, :] ^ pats[..., :, None]           # [..., 4, 8]
+    x = w[..., None, :] ^ pats[..., :, None]           # [..., 4, wpb]
     t = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555)
-    widx = jnp.arange(8, dtype=jnp.int32)
+    widx = jnp.arange(fm.wpb, dtype=jnp.int32)
     full = widx < nw[..., None, None]
     part = widx == nw[..., None, None]
     pm = _partial_mask(nb)[..., None, None]
@@ -292,7 +351,7 @@ def occ4(fm: DeviceFmPair, strand, k):
     # unrolled lane sum: a tiny trailing-axis reduce lowers to a slow
     # cross-lane reduction on TPU, elementwise adds do not
     cnt = ck
-    for j in range(8):
+    for j in range(fm.wpb):
         cnt = cnt + pc[..., j]
     cnt = jnp.where(is_neg[..., None], 0, cnt)
     cnt = jnp.where(is_full[..., None], fm.l2diff, cnt)
@@ -314,10 +373,12 @@ def occ2(fm: DeviceFmPair, strand, k, d):
     prim = fm.primary[strand]
     kk = k - (k >= prim).astype(jnp.uint32)
     kk = jnp.minimum(kk, jnp.uint32(max(fm.seq_len - 1, 0)))
+    # the dimer table is always 128-base blocked (independent of fm.intv)
+    n128 = (fm.seq_len + OCC_INTV - 1) // OCC_INTV
     blk = (kk >> 7).astype(jnp.uint32)
-    blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
+    blk = jnp.minimum(blk, jnp.uint32(n128 - 1))
     off = kk & jnp.uint32(127)
-    flat2 = strand * jnp.uint32(fm.n_blk) + blk
+    flat2 = strand * jnp.uint32(n128) + blk
     if flat2.ndim > 1:
         # flat-index the pair gather (see _gather_block's note)
         row = blocks2[flat2.reshape(-1)].reshape(*flat2.shape, 32)
@@ -374,7 +435,7 @@ def occ1(fm: DeviceFmPair, strand, k, c):
     pat = (jnp.uint32(0x55555555) * c)[..., None]
     x = w ^ pat
     t = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555)
-    widx = jnp.arange(8, dtype=jnp.int32)
+    widx = jnp.arange(fm.wpb, dtype=jnp.int32)
     full = widx < nw[..., None]
     part = widx == nw[..., None]
     pm = _partial_mask(nb)[..., None]
@@ -384,7 +445,7 @@ def occ1(fm: DeviceFmPair, strand, k, c):
     cnt = jnp.zeros_like(c)
     for j in range(4):
         cnt = cnt + jnp.where(c == j, ck[..., j], 0)
-    for j in range(8):
+    for j in range(fm.wpb):
         cnt = cnt + pc[..., j]
     cnt = jnp.where(is_neg, 0, cnt)
     lc = jnp.zeros_like(c)

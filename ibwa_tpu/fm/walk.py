@@ -44,10 +44,10 @@ def _lf_step(fm: DeviceFmPair, strand, k):
     ck, w, nw, nb = _gather_block(fm, strand, ka)
 
     # code at the row: select word nw, shift by the in-word offset
-    off = ka & jnp.uint32(127)
-    widx = jnp.arange(8, dtype=jnp.int32)
+    off = ka & jnp.uint32(fm.intv - 1)
+    widx = jnp.arange(fm.wpb, dtype=jnp.int32)
     word = jnp.zeros_like(k)
-    for j in range(8):
+    for j in range(fm.wpb):
         word = word | jnp.where(nw == j, w[..., j], 0)
     c = (word >> (((~off) & jnp.uint32(0xF)) << 1)) & 3
 
@@ -64,7 +64,7 @@ def _lf_step(fm: DeviceFmPair, strand, k):
     cnt = jnp.zeros_like(c)
     for j in range(4):
         cnt = cnt + jnp.where(c == j, ck[..., j], 0)
-    for j in range(8):
+    for j in range(fm.wpb):
         cnt = cnt + pc[..., j]
 
     lc = jnp.zeros_like(c)
@@ -74,15 +74,16 @@ def _lf_step(fm: DeviceFmPair, strand, k):
 
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "n_blk",
-                                             "intv_mask"))
+                                             "intv_mask", "blk_intv"))
 def _lf_walk(blocks, L2, l2diff, primary, strand, k0,
-             seq_len: int, n_blk: int, intv_mask: int):
+             seq_len: int, n_blk: int, intv_mask: int, blk_intv: int = 128):
     """Walk each lane to its nearest sampled row.
 
     Returns (add uint32[N] = steps taken, kfin uint32[N] = sampled row).
     Callers do `sa = add + sampled_sa[kfin >> log2(intv)]` on the host.
     """
-    fm = DeviceFmPair(blocks, L2, l2diff, primary, None, seq_len, n_blk)
+    fm = DeviceFmPair(blocks, L2, l2diff, primary, None, seq_len, n_blk,
+                      None, blk_intv)
     mask = jnp.uint32(intv_mask)
 
     def cond(st):
@@ -141,7 +142,8 @@ class DeviceWalker:
             add, kfin = _lf_walk(fm.blocks, fm.L2, fm.l2diff, fm.primary,
                                  jnp.asarray(ss), jnp.asarray(ks),
                                  seq_len=fm.seq_len, n_blk=fm.n_blk,
-                                 intv_mask=self.sa_intv - 1)
+                                 intv_mask=self.sa_intv - 1,
+                                 blk_intv=fm.intv)
             pending.append((lo, hi, add, kfin))
         for lo, hi, add, kfin in pending:
             addn = np.asarray(add)[:hi - lo].astype(np.uint32)

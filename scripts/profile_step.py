@@ -64,7 +64,7 @@ COMPONENTS = ["occ4", "eunroll", "meta", "shadow", "stack", "hits"]
 def run_fixed(cfg, blocks, L2, l2diff, primary, seqs, lens, md, hs, ssq,
               bad, seq_len: int, n_blk: int, n_steps: int):
     fm = DeviceFmPair(blocks, L2, l2diff, primary, None, seq_len, n_blk,
-                      None)
+                      None, (blocks.shape[1] - 4) << 4)
     st = engine_jax._init_state(cfg, fm, seqs, lens, md, hs, ssq, bad)
 
     def body(i, s):
