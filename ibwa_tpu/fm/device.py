@@ -92,11 +92,11 @@ class DeviceFmPair:
     # masked local gather + a psum over the axis (see _gather_block)
     shard_axis: str | None = None   # static
     # occ block interval: 128 (4 ckpt + 8 text words, 48 B rows — the
-    # disk layout) or 64 (4 ckpt + 4 text words, 32 B rows).  Round-5
-    # on-chip chase: a 32 B row gathers 1.7x faster than 48 B at B=1024
-    # (13.3 vs 22.4 us per 1024 rows) — the dependent-gather engine is
-    # request-bound and smaller rows clear faster.  The dimer table
-    # requires intv=128.
+    # disk layout), 64 (32 B rows) or 32 (24 B rows).  Round-5 on-chip
+    # chase: a 32 B row gathers 1.7x faster than 48 B at B=1024 (13.3 vs
+    # 22.4 us per 1024 rows) — the dependent-gather engine is
+    # request-bound and smaller rows clear faster.  The dimer table is
+    # always 128-base blocked, independent of this.
     intv: int = 128     # static
 
     @property
@@ -204,22 +204,27 @@ def _popcount_bases(words: np.ndarray) -> np.ndarray:
     return out
 
 
-def _halve_blocks(ckpt: np.ndarray, words: np.ndarray, seq_len: int
-                  ) -> np.ndarray:
-    """Re-checkpoint one strand's 128-base layout at 64-base intervals.
+def _rechunk_blocks(ckpt: np.ndarray, words: np.ndarray, seq_len: int,
+                    intv: int) -> np.ndarray:
+    """Re-checkpoint one strand's 128-base layout at `intv`-base intervals.
 
-    Returns uint32[n64, 8] rows: 4 ckpt words + 4 text words.  The odd
-    half-block's checkpoint = even checkpoint + first-half counts; a
-    trailing odd row whose first half contains padding is never gathered
-    (queries clamp to seq_len - 1) and is trimmed when possible."""
+    Returns uint32[n_intv, 4 + intv/16] rows: 4 ckpt words + intv/16 text
+    words.  Sub-block i's checkpoint = the 128-block checkpoint + the
+    counts of the preceding i*intv bases; a trailing row whose checkpoint
+    prefix contains padding is never gathered (queries clamp to
+    seq_len - 1) and is trimmed when possible."""
+    sub = OCC_INTV // intv            # sub-blocks per 128-base block
+    w = intv >> 4                     # text words per sub-block
     n128 = (seq_len + OCC_INTV - 1) // OCC_INTV
-    n64 = (seq_len + 63) // 64
-    rows = np.zeros((2 * n128, 8), dtype=np.uint32)
-    rows[0::2, :4] = ckpt[:n128]
-    rows[1::2, :4] = ckpt[:n128] + _popcount_bases(words[:, :4])
-    rows[0::2, 4:] = words[:, :4]
-    rows[1::2, 4:] = words[:, 4:]
-    return np.ascontiguousarray(rows[:n64])
+    n_intv = (seq_len + intv - 1) // intv
+    rows = np.zeros((sub * n128, 4 + w), dtype=np.uint32)
+    acc = ckpt[:n128].copy()
+    for i in range(sub):
+        rows[i::sub, :4] = acc
+        rows[i::sub, 4:] = words[:, w * i:w * (i + 1)]
+        if i + 1 < sub:
+            acc = acc + _popcount_bases(words[:, w * i:w * (i + 1)])
+    return np.ascontiguousarray(rows[:n_intv])
 
 
 def build_device_pair(fwd: FmIndex, rev: FmIndex,
@@ -229,12 +234,13 @@ def build_device_pair(fwd: FmIndex, rev: FmIndex,
     if intv is None:
         import os
         intv = int(os.environ.get("IBWA_DEV_INTV", "64"))
-    assert intv in (64, 128), intv
-    if intv == 64:
-        n_blk = (fwd.seq_len + 63) // 64
+    assert intv in (32, 64, 128), intv
+    if intv != 128:
+        n_blk = (fwd.seq_len + intv - 1) // intv
         blocks = np.concatenate(
-            [_halve_blocks(fwd.ckpt, fwd.words, fwd.seq_len),
-             _halve_blocks(rev.ckpt, rev.words, rev.seq_len)], axis=0)
+            [_rechunk_blocks(fwd.ckpt, fwd.words, fwd.seq_len, intv),
+             _rechunk_blocks(rev.ckpt, rev.words, rev.seq_len, intv)],
+            axis=0)
     else:
         n_blk = (fwd.seq_len + OCC_INTV - 1) // OCC_INTV
         blocks = np.empty((2 * n_blk, 12), dtype=np.uint32)
@@ -281,7 +287,7 @@ def _gather_block(fm: DeviceFmPair, strand, k):
     """Common block gather: returns (ck[..,4], w[..,wpb], nw, nb) for
     queries already adjusted for the primary sentinel and clamped in
     range."""
-    shift = 7 if fm.intv == 128 else 6
+    shift = fm.intv.bit_length() - 1
     roww = 4 + fm.wpb
     blk = (k >> shift).astype(jnp.uint32)
     blk = jnp.minimum(blk, jnp.uint32(fm.n_blk - 1))
