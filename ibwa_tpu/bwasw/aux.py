@@ -592,6 +592,13 @@ def bsw2_aln(opt: Bsw2Opt, prefix: str, fq_path: str,
         out.write(f"@SQ\tSN:{a.name}\tLN:{a.length}\n")
     n = 0
     if not os.environ.get("IBWA_PURE_PY"):
+        if os.environ.get("IBWA_BSW_DEVICE") == "1":
+            # batched seed extensions on the device (ops/dp.py); the
+            # staged native driver fans a whole read chunk's jobs into
+            # one dispatch per extension round
+            from . import dp_glue
+            dp_glue.install()
+            print("[bsw2_aln] seed extensions on device", file=sys.stderr)
         nat = Bsw2Native(bns, prefix, fms)
         names: list[bytes] = []
         seqs: list[bytes] = []

@@ -1014,31 +1014,93 @@ static void bsw_chain_filter(const BswOpt& opt, int64_t length, HL* b0,
   }
 }
 
-// bsw2_extend_left (bwtsw2_aux.c:80-129); pac access goes through the
-// packed accessor, reversed-pac indexing mirrors aux.py::extend_left
-static void bsw_extend_left(const BswCtx& ctx, const BswOpt& opt, HL& b,
-                            const uint8_t* query, int64_t lq, bool is_rev,
-                            const int32_t* matrix,
-                            std::vector<uint8_t>& rquery,
-                            std::vector<uint8_t>& target) {
+// ---------------------------------------------------------------------------
+// Batched seed extensions.  Collect/apply split so the staged driver can
+// fan a whole read chunk's jobs into ONE device dispatch; apply replays
+// the reference's sequential skip/containment logic exactly against the
+// precomputed per-hit results (an extension's INPUTS are the hit's own
+// pre-extension fields, so speculative precomputation is value-exact;
+// results of contained hits are simply discarded).  With no batch fn
+// registered (ibwa_bsw2_set_extend_fn) the host scalar loop runs — the
+// original code path, bit for bit.
+// ---------------------------------------------------------------------------
+
+typedef void (*ibwa_ext_batch_fn)(
+    int32_t n, const uint8_t* tgt_blob, const int64_t* tgt_off,
+    const uint8_t* qry_blob, const int64_t* qry_off, const int32_t* g0,
+    const int32_t* band, int32_t gap_open, int32_t gap_ext,
+    const int32_t* matrix, int32_t* out_meta);
+static ibwa_ext_batch_fn g_ext_fn = nullptr;
+// below this many jobs a device round trip costs more than it saves
+static int g_ext_dev_min = -1;
+
+struct ExtBatch {
+  int32_t q, r;
+  const int32_t* matrix;
+  std::vector<uint8_t> tgt_blob, qry_blob;
+  std::vector<int64_t> tgt_off{0}, qry_off{0};
+  std::vector<int32_t> g0, band;
+  std::vector<int32_t> out;  // [n, 3] after run()
+
+  ExtBatch(int32_t q_, int32_t r_, const int32_t* m) : q(q_), r(r_),
+                                                       matrix(m) {}
+  size_t size() const { return g0.size(); }
+
+  int32_t add(const uint8_t* tgt, int64_t nt, const uint8_t* qry,
+              int64_t nq, int32_t g0v, int32_t bandv) {
+    tgt_blob.insert(tgt_blob.end(), tgt, tgt + nt);
+    qry_blob.insert(qry_blob.end(), qry, qry + nq);
+    tgt_off.push_back((int64_t)tgt_blob.size());
+    qry_off.push_back((int64_t)qry_blob.size());
+    g0.push_back(g0v);
+    band.push_back(bandv);
+    return (int32_t)g0.size() - 1;
+  }
+
+  void run() {
+    size_t n = size();
+    out.assign(3 * n, 0);
+    if (!n) return;
+    if (g_ext_dev_min < 0) {
+      const char* e = getenv("IBWA_EXT_DEV_MIN");
+      g_ext_dev_min = e ? atoi(e) : 64;
+    }
+    if (g_ext_fn && (int)n >= g_ext_dev_min) {
+      g_ext_fn((int32_t)n, tgt_blob.data(), tgt_off.data(),
+               qry_blob.data(), qry_off.data(), g0.data(), band.data(),
+               q, r, matrix, out.data());
+      return;
+    }
+    for (size_t i = 0; i < n; ++i)
+      ibwa_extend_aln(tgt_blob.data() + tgt_off[i],
+                      (int32_t)(tgt_off[i + 1] - tgt_off[i]),
+                      qry_blob.data() + qry_off[i],
+                      (int32_t)(qry_off[i + 1] - qry_off[i]),
+                      q, r, band[i], matrix, 5, g0[i], &out[3 * i]);
+  }
+};
+
+// bsw2_extend_left (bwtsw2_aux.c:80-129) split: collect sorts the hits
+// and extracts every candidate's target window + reversed-query slice
+// from the hit's PRE-extension fields; apply replays the containment
+// scan (which reads earlier hits' post-extension fields) and applies
+// the precomputed result for non-contained candidates.
+static void bsw_extend_left_collect(const BswCtx& ctx, const BswOpt& opt,
+                                    HL& b, const uint8_t* query,
+                                    int64_t lq, bool is_rev,
+                                    std::vector<uint8_t>& rquery,
+                                    ExtBatch& eb,
+                                    std::vector<int32_t>& jid) {
   std::stable_sort(b.hits.begin(), b.hits.end(),
                    [](const Hit& a, const Hit& c) { return a.end > c.end; });
   rquery.assign(query, query + lq);
   std::reverse(rquery.begin(), rquery.end());
   int64_t l_pac = ctx.l_pac;
+  jid.assign(b.hits.size(), -1);
+  std::vector<uint8_t> target;
   for (size_t i = 0; i < b.hits.size(); ++i) {
     Hit& p = b.hits[i];
-    p.n_seeds = 1;
     if (p.l || p.k == 0) continue;
-    int score = 0;
-    for (size_t j = 0; j < i; ++j) {
-      Hit& q = b.hits[j];
-      if (q.beg <= p.beg && q.k <= p.k && q.k + q.len >= p.k + p.len) {
-        if (q.n_seeds < (1 << 14) - 2) q.n_seeds += 1;
-        ++score;
-      }
-    }
-    if (score) continue;
     int64_t lt = ((p.beg + 1) / 2 * opt.a + opt.r) / opt.r + lq;
     if (lt > p.k) lt = p.k;
     // bases p.k-1 down to (exclusive) max(p.k-1-lt, 0): index 0 is never
@@ -1053,10 +1115,27 @@ static void bsw_extend_left(const BswCtx& ctx, const BswOpt& opt, HL& b,
     else
       for (int64_t j = 0; j < n; ++j)
         target[j] = pac_base(ctx.pac, p.k - 1 - j);
-    int32_t meta[3] = {0, 0, 0};
-    ibwa_extend_aln(target.data(), (int32_t)n,
-                    rquery.data() + (lq - p.beg), (int32_t)p.beg,
-                    opt.q, opt.r, opt.bw, matrix, 5, (int32_t)p.G, meta);
+    jid[i] = eb.add(target.data(), n, rquery.data() + (lq - p.beg),
+                    p.beg, (int32_t)p.G, opt.bw);
+  }
+}
+
+static void bsw_extend_left_apply(HL& b, const ExtBatch& eb,
+                                  const std::vector<int32_t>& jid) {
+  for (size_t i = 0; i < b.hits.size(); ++i) {
+    Hit& p = b.hits[i];
+    p.n_seeds = 1;
+    if (p.l || p.k == 0) continue;
+    int score = 0;
+    for (size_t j = 0; j < i; ++j) {
+      Hit& q = b.hits[j];
+      if (q.beg <= p.beg && q.k <= p.k && q.k + q.len >= p.k + p.len) {
+        if (q.n_seeds < (1 << 14) - 2) q.n_seeds += 1;
+        ++score;
+      }
+    }
+    if (score) continue;
+    const int32_t* meta = &eb.out[3 * jid[i]];
     if (meta[0] > p.G) {
       p.G = meta[0];
       p.len += meta[1];
@@ -1066,13 +1145,15 @@ static void bsw_extend_left(const BswCtx& ctx, const BswOpt& opt, HL& b,
   }
 }
 
-// bsw2_extend_rght (bwtsw2_aux.c:131-164)
-static void bsw_extend_rght(const BswCtx& ctx, const BswOpt& opt, HL& b,
-                            const uint8_t* query, int64_t lq, bool is_rev,
-                            const int32_t* matrix,
-                            std::vector<uint8_t>& target) {
+static void bsw_extend_rght_collect(const BswCtx& ctx, const BswOpt& opt,
+                                    HL& b, const uint8_t* query,
+                                    int64_t lq, bool is_rev, ExtBatch& eb,
+                                    std::vector<int32_t>& jid) {
   int64_t l_pac = ctx.l_pac;
-  for (Hit& p : b.hits) {
+  jid.assign(b.hits.size(), -1);
+  std::vector<uint8_t> target;
+  for (size_t i = 0; i < b.hits.size(); ++i) {
+    Hit& p = b.hits[i];
     if (p.l) continue;
     int64_t lt = ((lq - p.beg + 1) / 2 * opt.a + opt.r) / opt.r + lq;
     int64_t hi = p.k + lt;
@@ -1086,16 +1167,51 @@ static void bsw_extend_rght(const BswCtx& ctx, const BswOpt& opt, HL& b,
     else
       for (int64_t j = 0; j < n; ++j)
         target[j] = pac_base(ctx.pac, p.k + j);
-    int32_t meta[3] = {0, 0, 0};
-    ibwa_extend_aln(target.data(), (int32_t)n, query + p.beg,
-                    (int32_t)(lq - p.beg), opt.q, opt.r, opt.bw, matrix, 5,
-                    1, meta);
+    jid[i] = eb.add(target.data(), n, query + p.beg, lq - p.beg, 1,
+                    opt.bw);
+  }
+}
+
+static void bsw_extend_rght_apply(HL& b, const ExtBatch& eb,
+                                  const std::vector<int32_t>& jid) {
+  for (size_t i = 0; i < b.hits.size(); ++i) {
+    Hit& p = b.hits[i];
+    if (p.l) continue;
+    const int32_t* meta = &eb.out[3 * jid[i]];
     if (meta[0] >= p.G) {
       p.G = meta[0];
       p.len = meta[1];
       p.end = meta[2] + p.beg;
     }
   }
+}
+
+// bsw2_extend_left (bwtsw2_aux.c:80-129); pac access goes through the
+// packed accessor, reversed-pac indexing mirrors aux.py::extend_left
+static void bsw_extend_left(const BswCtx& ctx, const BswOpt& opt, HL& b,
+                            const uint8_t* query, int64_t lq, bool is_rev,
+                            const int32_t* matrix,
+                            std::vector<uint8_t>& rquery,
+                            std::vector<uint8_t>& target) {
+  ExtBatch eb(opt.q, opt.r, matrix);
+  std::vector<int32_t> jid;
+  bsw_extend_left_collect(ctx, opt, b, query, lq, is_rev, rquery, eb, jid);
+  (void)target;
+  eb.run();
+  bsw_extend_left_apply(b, eb, jid);
+}
+
+// bsw2_extend_rght (bwtsw2_aux.c:131-164)
+static void bsw_extend_rght(const BswCtx& ctx, const BswOpt& opt, HL& b,
+                            const uint8_t* query, int64_t lq, bool is_rev,
+                            const int32_t* matrix,
+                            std::vector<uint8_t>& target) {
+  ExtBatch eb(opt.q, opt.r, matrix);
+  std::vector<int32_t> jid;
+  bsw_extend_rght_collect(ctx, opt, b, query, lq, is_rev, eb, jid);
+  (void)target;
+  eb.run();
+  bsw_extend_rght_apply(b, eb, jid);
 }
 
 // merge_hits (bwtsw2_aux.c:231-252)
@@ -1607,6 +1723,164 @@ static void bsw_aln_one(BswCtx& ctx, const BswOpt& opt0, const char* name,
                  &b0);
 }
 
+// ---------------------------------------------------------------------------
+// Staged driver: runs a chunk of ambiguity-free reads through the same
+// per-read pipeline as bsw_aln_one, but with the seed extensions of the
+// WHOLE chunk batched into two ExtBatch rounds (left, then right) so a
+// registered device fn gets thousands of lanes per dispatch instead of
+// a handful per read.  drand48 parity: the only draws are N-base fills
+// (zero here by the amb-free precondition) and the resolve passes,
+// which run strictly in read order in stage E — the stream is identical
+// to the sequential path.  Reads needing the reverse orientation
+// (need_rev, rng-dependent) run the full bsw_aln1_core inline in stage
+// E; its small per-read extension batches fall below IBWA_EXT_DEV_MIN
+// and stay on the host.
+// ---------------------------------------------------------------------------
+
+struct ReadStage {
+  BswOpt opt;
+  const char* name;
+  int64_t name_len;
+  const char* seq_str;
+  int64_t l;
+  const char* qual;
+  int64_t qual_len;
+  std::vector<uint8_t> codes, seq1;
+  int32_t matrix[25];
+  HL bb[2][2];
+  std::vector<uint8_t> rquery[2];
+  std::vector<int32_t> jl[2], jr[2];
+  bool done = false;  // too short: print an unmapped record in stage G
+};
+
+static void bsw_run_staged(BswCtx& ctx, const BswOpt& opt0, int32_t n,
+                           const uint8_t* seq_blob, const int64_t* seq_off,
+                           const uint8_t* qual_blob, const int64_t* qual_off,
+                           const uint8_t* name_blob, const int64_t* name_off,
+                           int32_t i0, uint64_t* rng, EntryPool& pool) {
+  std::vector<ReadStage> rs(n);
+  // every read in the chunk shares opt0's scoring, so one q/r/matrix set
+  // serves both batches (per-read opt only adjusts t and bw)
+  bsw_gen_matrix(opt0, rs[0].matrix);
+  ExtBatch eb_l(opt0.q, opt0.r, rs[0].matrix);
+  ExtBatch eb_r(opt0.q, opt0.r, rs[0].matrix);
+
+  double tt = bsw_now();
+  for (int32_t x = 0; x < n; ++x) {  // ---- stage A: core + left collect
+    ReadStage& s = rs[x];
+    int32_t i = i0 + x;
+    s.name = (const char*)name_blob + name_off[i];
+    s.name_len = name_off[i + 1] - name_off[i];
+    s.seq_str = (const char*)seq_blob + seq_off[i];
+    s.l = seq_off[i + 1] - seq_off[i];
+    s.qual = (const char*)qual_blob + qual_off[i];
+    s.qual_len = qual_off[i + 1] - qual_off[i];
+    s.opt = opt0;
+    if ((double)s.opt.t < std::log((double)s.l) * s.opt.coef)
+      s.opt.t = (int)(std::log((double)s.l) * s.opt.coef + 0.499);
+    int64_t k = bsw_floordiv(s.l * s.opt.a - 2 * s.opt.q,
+                             2 * s.opt.r + s.opt.a);
+    int64_t lim = bsw_floordiv(s.l * s.opt.a - s.opt.a - s.opt.t,
+                               s.opt.r);
+    if (k > lim) k = lim;
+    if (k < 1) k = 1;
+    s.opt.bw = (int)std::min((int64_t)opt0.bw, k);
+    s.codes.resize(s.l);
+    for (int64_t j = 0; j < s.l; ++j)
+      s.codes[j] = kNt4[(uint8_t)s.seq_str[j]];  // caller ensures < 4
+    if (s.l < s.opt.t) {  // n_amb == 0 by precondition
+      s.done = true;
+      continue;
+    }
+    s.seq1.resize(s.l);
+    for (int64_t j = 0; j < s.l; ++j)
+      s.seq1[j] = (uint8_t)(3 - s.codes[s.l - 1 - j]);
+    bsw_gen_matrix(s.opt, s.matrix);
+    const uint8_t* seqs[2] = {s.codes.data(), s.seq1.data()};
+    Opt copt{s.opt.a, s.opt.b, s.opt.q, s.opt.r, s.opt.t, s.opt.bw,
+             s.opt.z, s.opt.is_};
+    for (int kk = 0; kk < 2; ++kk) {
+      Bwtl bwtl;
+      bwtl.build(seqs[kk], (int32_t)s.l);
+      std::vector<Hit> b, b1;
+      bsw2_core(copt, bwtl, ctx.fm[0], b, b1, pool);
+      hl_from_vec(b, s.bb[kk][0]);
+      hl_from_vec(b1, s.bb[kk][1]);
+    }
+    bsw_chain_filter(s.opt, s.l, &s.bb[0][1], &s.bb[1][1]);
+    for (int kk = 0; kk < 2; ++kk)
+      bsw_extend_left_collect(ctx, s.opt, s.bb[kk][1], seqs[kk], s.l,
+                              false, s.rquery[kk], eb_l, s.jl[kk]);
+  }
+  g_t_core += bsw_now() - tt;
+
+  tt = bsw_now();
+  eb_l.run();  // ---- stage B: one batched left-extension round
+
+  for (int32_t x = 0; x < n; ++x) {  // ---- stage C: apply + right collect
+    ReadStage& s = rs[x];
+    if (s.done) continue;
+    const uint8_t* seqs[2] = {s.codes.data(), s.seq1.data()};
+    for (int kk = 0; kk < 2; ++kk) {
+      bsw_extend_left_apply(s.bb[kk][1], eb_l, s.jl[kk]);
+      bsw_merge_hits(s.bb[kk][0], s.bb[kk][1], s.l, false);
+      resolve_duphits(nullptr, s.bb[kk][0].hits, 0);
+      bsw_extend_rght_collect(ctx, s.opt, s.bb[kk][0], seqs[kk], s.l,
+                              false, eb_r, s.jr[kk]);
+    }
+  }
+
+  eb_r.run();  // ---- stage D: one batched right-extension round
+  g_t_ext += bsw_now() - tt;
+
+  for (int32_t x = 0; x < n; ++x) {  // ---- stage E..G: rng + cigar + print
+    ReadStage& s = rs[x];
+    if (s.done) {
+      bsw_print_hits(ctx, s.opt, s.name, s.name_len, s.seq_str, s.l,
+                     s.qual, s.qual_len, nullptr);
+      continue;
+    }
+    for (int kk = 0; kk < 2; ++kk)
+      bsw_extend_rght_apply(s.bb[kk][0], eb_r, s.jr[kk]);
+    HL& b0 = s.bb[0][0];
+    bsw_merge_hits(b0, s.bb[1][0], s.l, true);
+    bsw_resolve_query_overlaps(b0, s.opt.mask_level, rng);
+
+    bool need_rev = false;
+    for (const Hit& h : b0.hits)
+      if (h.n_seeds < s.opt.t_seeds) {
+        need_rev = true;
+        break;
+      }
+    if (need_rev) {
+      std::vector<uint8_t> rseq0(s.l), rseq1(s.l);
+      for (int64_t j = 0; j < s.l; ++j) {
+        rseq0[j] = s.codes[s.l - 1 - j];
+        rseq1[j] = (uint8_t)(3 - s.codes[j]);
+      }
+      HL b1;
+      bsw_aln1_core(ctx, s.opt, s.l, rseq0.data(), rseq1.data(), true,
+                    s.matrix, pool, rng, b1);
+      for (Hit& p : b1.hits) {
+        int64_t x2 = p.beg;
+        p.beg = s.l - p.end;
+        p.end = s.l - x2;
+        if (p.l == 0) p.k = ctx.l_pac - (p.k + p.len);
+      }
+      bsw_flag_fr(b0, b1);
+      bsw_merge_hits(b0, b1, s.l, false);
+      resolve_duphits(nullptr, b0.hits, 0);
+      bsw_resolve_query_overlaps(b0, s.opt.mask_level, rng);
+    }
+    double tc = bsw_now();
+    bsw_gen_cigar(ctx, s.opt, s.l, s.codes.data(), s.seq1.data(), b0,
+                  s.matrix);
+    g_t_cig += bsw_now() - tc;
+    bsw_print_hits(ctx, s.opt, s.name, s.name_len, s.seq_str, s.l,
+                   s.qual, s.qual_len, &b0);
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1707,13 +1981,33 @@ int64_t ibwa_bsw2_run(void* pctx, int32_t n_reads, const uint8_t* seq_blob,
   uint64_t rng = *rng_state;
   static thread_local EntryPool pool;
   double t_all = bsw_now();
-  for (int32_t i = 0; i < n_reads; ++i) {
-    bsw_aln_one(*ctx, opt, (const char*)name_blob + name_off[i],
-                name_off[i + 1] - name_off[i],
-                (const char*)seq_blob + seq_off[i],
-                seq_off[i + 1] - seq_off[i],
-                (const char*)qual_blob + qual_off[i],
-                qual_off[i + 1] - qual_off[i], &rng, pool);
+  const char* st_env = getenv("IBWA_BSW2_STAGED");
+  bool staged = !st_env || atoi(st_env) != 0;
+  auto has_amb = [&](int32_t i) {
+    for (int64_t j = seq_off[i]; j < seq_off[i + 1]; ++j)
+      if (kNt4[seq_blob[j]] >= 4) return true;
+    return false;
+  };
+  const int32_t SEG_MAX = 1024;
+  int32_t i = 0;
+  while (i < n_reads) {
+    if (!staged || has_amb(i)) {
+      // N bases consume drand48 draws inside the per-read loop; such
+      // reads run the sequential path so the stream order is exact
+      bsw_aln_one(*ctx, opt, (const char*)name_blob + name_off[i],
+                  name_off[i + 1] - name_off[i],
+                  (const char*)seq_blob + seq_off[i],
+                  seq_off[i + 1] - seq_off[i],
+                  (const char*)qual_blob + qual_off[i],
+                  qual_off[i + 1] - qual_off[i], &rng, pool);
+      ++i;
+      continue;
+    }
+    int32_t j = i + 1;
+    while (j < n_reads && j - i < SEG_MAX && !has_amb(j)) ++j;
+    bsw_run_staged(*ctx, opt, j - i, seq_blob, seq_off, qual_blob,
+                   qual_off, name_blob, name_off, i, &rng, pool);
+    i = j;
   }
   g_t_other += bsw_now() - t_all;
   *rng_state = rng;
@@ -1730,6 +2024,14 @@ int64_t ibwa_bsw2_run(void* pctx, int32_t n_reads, const uint8_t* seq_blob,
 
 const char* ibwa_bsw2_text(void* pctx) {
   return ((BswCtx*)pctx)->buf.data();
+}
+
+// Register a batched seed-extension backend (the device DP engine,
+// ibwa_tpu/ops/dp.py via sam/dp_native.py); NULL restores the host
+// scalar loop.  The fn sees (n, tgt blob+offsets, qry blob+offsets, g0,
+// band, gap_open, gap_ext, matrix[25], out int32[n,3]).
+void ibwa_bsw2_set_extend_fn(void* fn) {
+  g_ext_fn = (ibwa_ext_batch_fn)fn;
 }
 
 }  // extern "C"
