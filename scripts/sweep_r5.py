@@ -34,19 +34,38 @@ DEFAULTS = dict(intv=64, dev_batch=1024, persist_n=2048, acap=256,
                 iter_cap=384)
 
 # prioritized: interval A/B first, then lane scale at the small-row
-# layout, then capacity knobs at the best (intv, B) seen so far
+# layout (the ceiling model says fixed per-step cost amortizes over B),
+# then capacity knobs at the best (intv, B) seen so far
 GRID = [
     dict(intv=128),
     dict(intv=64),
     dict(intv=32),
-    dict(intv=64, dev_batch=2048, persist_n=4096),
     dict(intv=64, dev_batch=4096, persist_n=8192),
-    dict(intv=32, dev_batch=2048, persist_n=4096),
-    dict(intv=64, dev_batch=2048, persist_n=4096, acap=192),
-    dict(intv=64, dev_batch=2048, persist_n=4096, acap=384),
-    dict(intv=64, dev_batch=2048, persist_n=4096, iter_cap=256),
-    dict(intv=64, dev_batch=2048, persist_n=4096, iter_cap=512),
+    dict(intv=64, dev_batch=8192, persist_n=16384),
+    dict(intv=64, dev_batch=2048, persist_n=4096),
+    dict(intv=32, dev_batch=4096, persist_n=8192),
+    dict(intv=64, dev_batch=4096, persist_n=8192, iter_cap=512),
+    dict(intv=64, dev_batch=4096, persist_n=8192, acap=192),
+    dict(intv=64, dev_batch=4096, persist_n=8192, iter_cap=256),
 ]
+
+CHILD_TIMEOUT = 1200  # healthy configs finish in ~3-5 min; a child stuck
+                      # in PJRT init (wedged tunnel) must not eat the hour
+
+
+def _tunnel_up() -> bool:
+    """Cheap subprocess probe — the PJRT client init hangs forever on a
+    wedged tunnel, so never probe in-process."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() != 'cpu'; "
+             "import jax.numpy as jnp; (jnp.ones((8,8)) @ jnp.ones((8,8))"
+             ").block_until_ready(); print('UP')"],
+            capture_output=True, text=True, timeout=180)
+        return "UP" in r.stdout
+    except Exception:
+        return False
 
 
 def child(cfg: dict) -> None:
@@ -106,14 +125,26 @@ def main() -> None:
         if json.dumps(cfg, sort_keys=True) in done:
             print(f"skip (done): {g}", flush=True)
             continue
-        r = subprocess.run(
-            [sys.executable, __file__, "--child", json.dumps(g)],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        if not _tunnel_up():
+            print("tunnel DOWN - waiting 300s", flush=True)
+            time.sleep(300)
+            if not _tunnel_up():
+                print("tunnel still down - stopping sweep (rerun resumes)",
+                      flush=True)
+                return
         try:
-            rec = json.loads(line)
-        except json.JSONDecodeError:
-            rec = {**cfg, "error": r.stderr[-300:]}
+            r = subprocess.run(
+                [sys.executable, __file__, "--child", json.dumps(g)],
+                env=env, capture_output=True, text=True,
+                timeout=CHILD_TIMEOUT)
+            line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                rec = {**cfg, "error": r.stderr[-300:]}
+        except subprocess.TimeoutExpired:
+            rec = {**cfg, "error": f"child timeout {CHILD_TIMEOUT}s "
+                   "(wedged tunnel or pathological config)"}
         print(json.dumps(rec), flush=True)
         results.append(rec)
         OUT.write_text(json.dumps(results, indent=1))
